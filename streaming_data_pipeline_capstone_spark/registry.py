@@ -1,0 +1,65 @@
+"""Query registry — the driver-facing inventory.
+
+Every operator from SURVEY §2 that is implemented gets a named entry here:
+a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus (where expressible)
+a matching ANSI-SQL oracle string for DuckDB. The driver hash-compares the
+two at sf=0.01; ``tools/check_oracle.py`` runs the same comparison locally.
+
+Conventions that keep the hash comparison meaningful:
+- every computed column is aliased identically in Spark and SQL
+- floating-point outputs are rounded (typically 6 dp) *in both* engines
+- nondeterministic orderings get explicit deterministic tiebreaks
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a query (and optionally its DuckDB oracle) to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (side-effect imports)."""
+    from streaming_data_pipeline_capstone_spark.queries import (  # noqa: F401
+        flagship,
+        llm_ops,
+        relational,
+        scalars,
+        streaming_like,
+    )
+
+
+_LOADED = False
+
+
+def all_queries() -> dict[str, QueryFn]:
+    global _LOADED
+    if not _LOADED:
+        _load_all()
+        _LOADED = True
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    global _LOADED
+    if not _LOADED:
+        _load_all()
+        _LOADED = True
+    return dict(ORACLES)
