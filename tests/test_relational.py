@@ -1,0 +1,84 @@
+"""Join-family unit tests + physical-plan hygiene checks (SURVEY §4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_capstone_spark.operators.joins import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T10:00:00"), 1.0),
+            ("A", _ts("2024-01-01T10:05:00"), 2.0),
+            ("B", _ts("2024-01-01T10:01:00"), 9.0),
+        ],
+        "sym string, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T10:03:00")),  # after q1, before q2 → 1.0
+            ("A", _ts("2024-01-01T10:05:00")),  # equal ts → 2.0 (inclusive)
+            ("A", _ts("2024-01-01T09:59:00")),  # before any quote → null
+            ("B", _ts("2024-01-01T11:00:00")),  # → 9.0
+            ("C", _ts("2024-01-01T10:00:00")),  # key never quoted → null
+        ],
+        "sym string, tts timestamp",
+    )
+    out = asof_join(trades, quotes, key="sym", left_ts="tts", right_ts="qts")
+    got = {(r.sym, r.tts.isoformat()): r.px for r in out.collect()}
+    assert got[("A", "2024-01-01T10:03:00")] == 1.0
+    assert got[("A", "2024-01-01T10:05:00")] == 2.0
+    assert got[("A", "2024-01-01T09:59:00")] is None
+    assert got[("B", "2024-01-01T11:00:00")] == 9.0
+    assert got[("C", "2024-01-01T10:00:00")] is None
+    assert out.count() == trades.count()  # left-preserving
+
+
+def test_asof_join_strict(spark):
+    quotes = spark.createDataFrame(
+        [("A", _ts("2024-01-01T10:05:00"), 2.0)], "sym string, qts timestamp, px double"
+    )
+    trades = spark.createDataFrame(
+        [("A", _ts("2024-01-01T10:05:00"))], "sym string, tts timestamp"
+    )
+    out = asof_join(trades, quotes, key="sym", left_ts="tts", right_ts="qts", strict=True)
+    assert out.collect()[0].px is None  # equal ts excluded under strict
+
+
+def test_broadcast_join_in_plan(spark, sf_smoke):
+    from streaming_data_pipeline_capstone_spark.queries.relational import (
+        join_regional_revenue,
+    )
+
+    plan = join_regional_revenue(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_in_scan(spark, sf_smoke):
+    from streaming_data_pipeline_capstone_spark.queries.relational import (
+        agg_pricing_summary,
+    )
+
+    plan = agg_pricing_summary(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    # the shipdate predicate must reach the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_in_scan(spark, sf_smoke):
+    from streaming_data_pipeline_capstone_spark.queries.relational import (
+        sort_top20_orders,
+    )
+
+    plan = sort_top20_orders(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    # only 3 of 6 order columns should be read
+    assert "o_orderdate" not in plan.split("ReadSchema")[1].split("\n")[0]
+    # global sort+limit should compile to TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in plan
