@@ -1,0 +1,186 @@
+"""Deduplication operators for training-data pipelines (driver mandate X1/X2).
+
+Four dedup families, all shuffle-architected for 100 TB:
+
+- exact: hash-groupBy on a normalized fingerprint — one exchange on the
+  16-byte hash, never on the document text
+- MinHash + LSH: shingle → k min-hashes → b bands → bucket join. The only
+  pairwise work happens inside LSH buckets (expected O(duplicates), not
+  O(n²)); candidates are then verified with exact Jaccard
+- SimHash: 16-nibble fingerprint from token hash parities; hamming
+  neighbors share band substrings
+- n-gram Jaccard: exact pairwise over the inverted shingle index — the
+  brute-force oracle path (small data / validation), same verify code as
+  MinHash
+
+Hashes are md5 hex strings so every step is bit-for-bit reproducible in
+ANSI SQL (DuckDB oracles in queries/llm_ops.py) — a deliberately portable
+MinHash: min() over lexicographic hex strings is a valid uniform min-hash
+because md5 is uniform on the first bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_capstone_spark.operators.textstats import fingerprint, word_shingles
+
+DEFAULT_NUM_HASHES = 12
+DEFAULT_BANDS = 4  # rows per band r = k/b = 3 → catches jaccard ≳ 0.63
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups on the normalized-text fingerprint.
+
+    Returns one row per distinct content: representative (min id), count.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingles array<string>) — the input to both MinHash and exact
+    Jaccard."""
+    return df.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles"))
+
+
+def minhash_signatures(
+    sets_df: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """k min-hashes per doc: min over shingles of md5(seed || '|' || shingle).
+
+    One explode + one groupBy(doc) — a single exchange keyed by doc id;
+    the k mins are computed map-side (partial agg) before the shuffle.
+    """
+    exploded = sets_df.select("doc", F.explode("shingles").alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("doc").agg(*aggs)
+
+
+def lsh_bands(
+    sigs: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """(doc, band_id, band_hash): hash of each signature band. Docs agreeing
+    on ANY band are candidates."""
+    r = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * r + j}") for j in range(r)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
+        )
+    return sigs.select("doc", F.explode(F.array(*band_cols)).alias("band")).select(
+        "doc", F.col("band.band_id").alias("band_id"), F.col("band.bh").alias("bh")
+    )
+
+
+def candidate_pairs_from_bands(bands_df: DataFrame) -> DataFrame:
+    """Distinct (doc1 < doc2) pairs sharing at least one LSH bucket.
+
+    Self-join on (band_id, bh): the shuffle key is the bucket hash, so
+    only same-bucket rows ever meet — no O(n²) comparison.
+    """
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sets_df: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs; keeps pairs ≥ threshold.
+
+    Joining the (small) candidate set back to the shingle arrays — the
+    expensive set intersection only runs on LSH survivors.
+    """
+    s1 = sets_df.select(F.col("doc").alias("doc1"), F.col("shingles").alias("s1"))
+    s2 = sets_df.select(F.col("doc").alias("doc2"), F.col("shingles").alias("s2"))
+    inter = F.size(F.array_intersect("s1", "s2"))
+    union = F.size("s1") + F.size("s2") - inter
+    jac = inter.cast("double") / union
+    return (
+        pairs.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: verified (doc1, doc2, jaccard)."""
+    sets_df = shingle_sets(df, id_col, text_col, shingle_n)
+    sigs = minhash_signatures(sets_df, num_hashes)
+    cands = candidate_pairs_from_bands(lsh_bands(sigs, num_hashes, bands))
+    return jaccard_verify(cands, sets_df, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6, shingle_n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dups via the inverted shingle index.
+
+    Candidate generation = docs sharing ≥1 shingle (shuffle keyed on the
+    shingle); exact for validation, O(pairs-sharing-a-shingle) at scale —
+    prefer minhash_lsh_dedup beyond small corpora.
+    """
+    sets_df = shingle_sets(df, id_col, text_col, shingle_n)
+    inv = sets_df.select("doc", F.explode("shingles").alias("sh"))
+    a, b = inv.alias("a"), inv.alias("b")
+    cands = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .distinct()
+    )
+    return jaccard_verify(cands, sets_df, threshold)
+
+
+def simhash_bits(text_col: Column | str, nibbles: int = 16) -> Column:
+    """SimHash-style fingerprint as a bit-string over md5 nibble parities.
+
+    For each of the 16 hex positions of md5(token), tokens vote +1 if the
+    nibble's top bit is set (8-f) else -1; the position's output bit is 1
+    when the sum is positive. Near-duplicate texts differ in few bits.
+    Fully portable (string ops + sums only).
+    """
+    toks = F.array_distinct(
+        F.split(F.lower(F.trim(F.col(text_col) if isinstance(text_col, str) else text_col)), r"\s+")
+    )
+    def _vote(p: int):
+        # closure factory: pyspark introspects lambda arity, so the
+        # position can't ride along as a defaulted third parameter
+        return lambda acc, t: acc + F.when(
+            F.substring(F.md5(t), p, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1
+        ).otherwise(-1)
+
+    bits = []
+    for p in range(1, nibbles + 1):
+        vote = F.aggregate(toks, F.lit(0), _vote(p))
+        bits.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)

@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines (driver mandate X4).
+
+All pure Column expressions — tokenization, n-gram shingles, quality
+metrics, language-ID heuristic, fingerprinting. No Python UDFs: at 100 TB
+of documents these run inside whole-stage codegen on the scan.
+
+Portability note: every function here has an exact DuckDB twin (see
+queries/llm_ops.py oracles) — hashes are md5 (identical hex in both
+engines), splits are regex ``\\s+``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of normalized (lower/trim) text."""
+    return F.split(F.lower(F.trim(_c(text))), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; documents shorter than ``n`` tokens
+    contribute their whole text as a single shingle."""
+    t = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+    )
+    whole = F.array(F.concat_ws(" ", t))
+    return F.array_distinct(F.when(F.size(t) < n, whole).otherwise(grams))
+
+
+def char_shingles(text: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text (near-dup feature
+    for languages without whitespace segmentation)."""
+    s = F.lower(F.trim(_c(text)))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1))),
+        lambda i: F.substring(s, i, n),
+    )
+    return F.array_distinct(grams)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Share of non-alphanumeric-non-space characters (quality signal)."""
+    s = _c(text)
+    n_punct = F.length(F.regexp_replace(s, r"[a-zA-Z0-9\s]", ""))
+    return n_punct / F.greatest(F.length(s), F.lit(1))
+
+
+def mean_word_len(text: Column | str) -> Column:
+    t = tokens(text)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.greatest(F.size(t), F.lit(1))
+
+
+# stopword marker sets for a tiny trigram-free language-ID heuristic;
+# counts of language-specific function words, argmax wins
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "es": ["el", "los", "las", "es", "una", "por"],
+}
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts (whitespace-token exact matches)."""
+    t = tokens(text)
+    out: dict[str, Column] = {}
+    for lang, words in _LANG_MARKERS.items():
+        out[lang] = F.size(
+            F.filter(t, lambda x: x.isin(*words))  # noqa: B023
+        )
+    return out
+
+
+def lang_guess(text: Column | str) -> Column:
+    """argmax of lang_scores with 'und' (undetermined) when all zero.
+
+    Deterministic tie-break: language order en > de > fr > es.
+    """
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    guess = F.lit("und")
+    for lang in reversed(list(_LANG_MARKERS)):  # earlier langs win ties
+        guess = F.when(scores[lang] == best, F.lit(lang)).otherwise(guess)
+    return F.when(best == 0, F.lit("und")).otherwise(guess)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized
+    lowercase text. Portable across engines (hex string)."""
+    normalized = F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: long enough, words not too long
+    /short, low punctuation noise. Weights are arbitrary but fixed."""
+    s = _c(text)
+    len_ok = F.least(F.length(s).cast("double") / F.lit(200.0), F.lit(1.0))
+    wl = mean_word_len(s)
+    wl_ok = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(s) * 5.0, F.lit(1.0))
+    return F.round(0.4 * len_ok + 0.3 * wl_ok + 0.3 * punct_ok, 6)
