@@ -251,3 +251,52 @@ def scalar_spike_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_spike=F.col("value_repaired") >= F.lit(15.0),
     )
     return repaired.select("event_id", "user_id", "value_repaired")
+
+
+# -- F8/F9: path-angle + step features (reference README.md:48) --------------
+@register(
+    "feature_path_angle",
+    f"""
+    WITH src AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             {_LON_SQL} AS x, {_LAT_SQL} AS y
+      FROM events
+    ), lagged AS (
+      SELECT event_id, user_id, x, y,
+             lag(x, 2) OVER w AS x1, lag(y, 2) OVER w AS y1,
+             lag(x, 1) OVER w AS x2, lag(y, 1) OVER w AS y2
+      FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           round(CASE
+             WHEN degrees(abs(atan2(y - y2, x - x2) - atan2(y2 - y1, x2 - x1))) > 180.0
+             THEN 360.0 - degrees(abs(atan2(y - y2, x - x2) - atan2(y2 - y1, x2 - x1)))
+             ELSE degrees(abs(atan2(y - y2, x - x2) - atan2(y2 - y1, x2 - x1)))
+           END, 6) AS path_angle,
+           CASE WHEN y > 7.0 AND y < 23.0 AND x > 105.0 AND x < 123.0
+                THEN 1 ELSE 0 END AS in_region
+    FROM lagged
+    """,
+)
+def feature_path_angle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn angle at each point from the two previous per-key positions
+    (W3 lag + F8 atan2) and the F9 region dummy, on pseudo-coordinates."""
+    from streaming_data_pipeline_capstone_spark.functions.cleaning import bbox_filter
+    from streaming_data_pipeline_capstone_spark.functions.geo import path_angle_deg
+
+    events = _with_lonlat(read_table(spark, sf_dir, "events")).withColumnRenamed(
+        "lon", "x"
+    ).withColumnRenamed("lat", "y")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = (
+        events.withColumn("x1", F.lag("x", 2).over(w))
+        .withColumn("y1", F.lag("y", 2).over(w))
+        .withColumn("x2", F.lag("x", 1).over(w))
+        .withColumn("y2", F.lag("y", 1).over(w))
+    )
+    return lagged.select(
+        "event_id",
+        "user_id",
+        F.round(path_angle_deg("x1", "y1", "x2", "y2", "x", "y"), 6).alias("path_angle"),
+        F.when(bbox_filter("y", "x"), 1).otherwise(0).alias("in_region"),
+    )

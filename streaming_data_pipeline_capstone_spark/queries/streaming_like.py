@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from streaming_data_pipeline_capstone_spark.operators.windows import sliding_time_agg
 from streaming_data_pipeline_capstone_spark.registry import register
 from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+from streaming_data_pipeline_capstone_spark.streaming.state import gap_fill_interpolate
 
 
 # -- A1-A2: sliding 2-min/1-min window aggregation (preprocess.py:78-88) -----
@@ -156,4 +157,44 @@ def stream_sliding_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "avg_value",
         "last_value",
+    )
+
+
+# -- T7: gap-fill interpolation, batch form (reference README.md:46) ----------
+@register(
+    "stream_gap_fill",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), lagged AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER w AS prev_ts,
+             lag(value) OVER w AS prev_val
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), synth AS (
+      SELECT user_id,
+             unnest(generate_series(prev_ts + INTERVAL 4 HOUR,
+                                    ts - INTERVAL 1 MICROSECOND,
+                                    INTERVAL 4 HOUR)) AS sts,
+             ts AS cur_ts, prev_ts, value, prev_val
+      FROM lagged
+      WHERE prev_ts IS NOT NULL AND ts > prev_ts + INTERVAL 8 HOUR
+    )
+    SELECT user_id, ts, value, 0 AS is_interpolated FROM e
+    UNION ALL
+    SELECT user_id, sts AS ts,
+           round(prev_val + (value - prev_val)
+                 * (CAST(epoch_us(sts) - epoch_us(prev_ts) AS DOUBLE)
+                    / CAST(epoch_us(cur_ts) - epoch_us(prev_ts) AS DOUBLE)), 6) AS value,
+           1 AS is_interpolated
+    FROM synth
+    """,
+)
+def stream_gap_fill(spark, sf_dir):
+    """Per-user linear interpolation into gaps > 8 h, one point every 4 h —
+    the batch twin of streaming/state.py:gap_fill_stream."""
+    events = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return gap_fill_interpolate(
+        events, key="user_id", ts_col="ts", value_cols=["value"],
+        gap="8 hours", step="4 hours",
     )

@@ -1,0 +1,235 @@
+"""Streaming semantics tests (SURVEY §5 item 3): file source +
+availableNow trigger + memory sink; stateful last-K across micro-batches;
+watermark drops; checkpoint-restart idempotence."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from streaming_data_pipeline_capstone_spark.sources.replay import (
+    replay_to_files,
+    stream_from_replay,
+)
+from streaming_data_pipeline_capstone_spark.streaming.sinks import for_each_batch, to_memory
+from streaming_data_pipeline_capstone_spark.streaming.state import (
+    gap_fill_stream,
+    last_k_per_key_stream,
+)
+
+
+@pytest.fixture
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="sdpc-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _events_df(spark, rows):
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _t(minute, second=0):
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+def test_last_k_state_across_batches(spark, tmpdir):
+    """5 events per key over 5 micro-batches → state holds exactly the 3
+    most recent; verifies executor-side state survives across batches."""
+    rows = [(1, _t(m), float(m)) for m in range(5)] + [(2, _t(m), 10.0 + m) for m in range(5)]
+    df = _events_df(spark, rows)
+    schema = replay_to_files(df, f"{tmpdir}/replay", num_chunks=5, order_col="ts")
+    stream = stream_from_replay(spark, f"{tmpdir}/replay", schema)
+
+    out = last_k_per_key_stream(stream, key="user_id", ts_col="ts", value_cols=["value"], k=3)
+    q = to_memory(out, "last3_state", output_mode="update")
+    q.awaitTermination(120)
+
+    final = (
+        spark.table("last3_state")
+        .groupBy("user_id", "ts", "value")
+        .agg(F.min("rn").alias("rn"))  # updates accumulate in memory sink; latest wins
+    )
+    # reconstruct the final state: rows present with rn from the LAST update
+    latest = final.filter(F.col("ts") >= _t(2)).collect()
+    per_key = {}
+    for r in latest:
+        per_key.setdefault(r.user_id, []).append((r.ts, r.value))
+    assert {u: sorted(v) for u, v in per_key.items()} == {
+        1: [(_t(2), 2.0), (_t(3), 3.0), (_t(4), 4.0)],
+        2: [(_t(2), 12.0), (_t(3), 13.0), (_t(4), 14.0)],
+    }
+
+
+def test_gap_fill_stream_interpolates(spark, tmpdir):
+    """Gap of 5 min with 60 s step → 4 synthetic points, linearly blended,
+    flagged is_interpolated=1; state carries across micro-batches."""
+    rows = [
+        (1, _t(0), 0.0),
+        (1, _t(5), 10.0),  # arrives in a later batch → gap spans batches
+    ]
+    df = _events_df(spark, rows)
+    schema = replay_to_files(df, f"{tmpdir}/replay", num_chunks=2, order_col="ts")
+    stream = stream_from_replay(spark, f"{tmpdir}/replay", schema)
+
+    out = gap_fill_stream(stream, key="user_id", ts_col="ts", value_col="value",
+                          gap_seconds=60, step_seconds=60)
+    q = to_memory(out, "gapfill_out", output_mode="append")
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.ts, r.value, r.is_interpolated) for r in spark.table("gapfill_out").collect()
+    )
+    expected = [
+        (_t(0), 0.0, 0),
+        (_t(1), 2.0, 1),
+        (_t(2), 4.0, 1),
+        (_t(3), 6.0, 1),
+        (_t(4), 8.0, 1),
+        (_t(5), 10.0, 0),
+    ]
+    assert got == expected
+
+
+def test_watermark_drops_late_events(spark, tmpdir):
+    """Windowed agg with 2-min watermark across a restart: run 1 closes
+    window 10:00 (watermark → 10:08); run 2 delivers a 9-min-late event,
+    which must be dropped — the closed window's output never changes."""
+
+    def run(stream):
+        agg = (
+            stream.withWatermark("ts", "2 minutes")
+            .groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
+            .agg(F.sum("value").alias("total"), F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "user_id", "total", "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{tmpdir}/out")
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch1 = [(1, _t(0, 10), 1.0), (1, _t(0, 50), 3.0), (1, _t(10), 100.0)]
+    schema = replay_to_files(_events_df(spark, batch1), f"{tmpdir}/replay", num_chunks=1)
+    run(stream_from_replay(spark, f"{tmpdir}/replay", schema))
+    out1 = {r.ws: (r.total, r.n) for r in spark.read.parquet(f"{tmpdir}/out").collect()}
+    assert out1[_t(0)] == (4.0, 2)  # window closed with the on-time events
+
+    # 9-min-late event arrives after restart; watermark (10:08) from the
+    # checkpoint must reject it
+    _events_df(spark, [(1, _t(0, 30), 5.0)]).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmpdir}/replay/chunk=00001"
+    )
+    run(stream_from_replay(spark, f"{tmpdir}/replay", schema))
+    out2 = {r.ws: (r.total, r.n) for r in spark.read.parquet(f"{tmpdir}/out").collect()}
+    assert out2[_t(0)] == (4.0, 2)  # unchanged — late event dropped
+
+
+def test_foreachbatch_state_table(spark, tmpdir):
+    """foreachBatch + parquet state: the reference's insert→rank→truncate
+    loop without driver-resident state (predict_path.py:59-69)."""
+    from streaming_data_pipeline_capstone_spark.plans.predict import (
+        recent_positions_foreachbatch,
+    )
+
+    rows = [(1, _t(m), float(m)) for m in range(5)]
+    df = _events_df(spark, rows).withColumnRenamed("user_id", "mmsi").withColumnRenamed(
+        "ts", "timestamp_utc"
+    )
+    schema = replay_to_files(df, f"{tmpdir}/replay", num_chunks=5, order_col="timestamp_utc")
+    stream = stream_from_replay(spark, f"{tmpdir}/replay", schema)
+
+    merge = recent_positions_foreachbatch(f"{tmpdir}/state", k=3)
+    q = for_each_batch(stream, merge, checkpoint=f"{tmpdir}/ckpt", available_now=True)
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(f"{tmpdir}/state")
+    got = sorted(r.timestamp_utc for r in state.collect())
+    assert got == [_t(2), _t(3), _t(4)]  # exactly last 3 survive
+
+
+def test_checkpoint_restart_resumes(spark, tmpdir):
+    """Stop after batch 1, add data, restart with same checkpoint → second
+    run processes ONLY the new file (exactly-once bookkeeping, T2)."""
+    df1 = _events_df(spark, [(1, _t(0), 1.0)])
+    schema = replay_to_files(df1, f"{tmpdir}/replay", num_chunks=1)
+    stream = stream_from_replay(spark, f"{tmpdir}/replay", schema)
+    sink_path, ckpt = f"{tmpdir}/out", f"{tmpdir}/ckpt"
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink_path).count() == 1
+
+    _events_df(spark, [(1, _t(1), 2.0)]).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmpdir}/replay/chunk=00001"
+    )
+    stream2 = stream_from_replay(spark, f"{tmpdir}/replay", schema)
+    q2 = (
+        stream2.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    out = spark.read.parquet(sink_path)
+    assert out.count() == 2  # no reprocessing of chunk 0
+    assert sorted(r.value for r in out.collect()) == [1.0, 2.0]
+
+
+def test_streaming_preprocess_parity(spark, tmpdir):
+    """The preprocess plan runs unchanged on a stream and matches its own
+    batch output (T8 pipeline composition, batch/stream parity)."""
+    import json
+
+    from streaming_data_pipeline_capstone_spark.plans.preprocess import (
+        preprocess_from_envelope,
+    )
+    from streaming_data_pipeline_capstone_spark.schemas import AIS_WIRE_SCHEMA
+
+    fields = [f.name for f in AIS_WIRE_SCHEMA.fields]
+    msgs = [
+        dict(zip(fields, (
+            f"2021-04-05 10:0{i}:00Z", 229906000 + i, f"POINT(110.{i} 15.25)", 0.0,
+            10.0 + i, 90.0, 1, "src", 1, 0, 0, "V", "Cargo", 30, 90.0, 2.0, 0,
+        ), strict=True))
+        for i in range(4)
+    ]
+    env = spark.createDataFrame([(json.dumps(m),) for m in msgs], "value string")
+    schema = replay_to_files(env, f"{tmpdir}/replay", num_chunks=2)
+    stream = stream_from_replay(spark, f"{tmpdir}/replay", schema)
+
+    q = to_memory(preprocess_from_envelope(stream), "pp_stream", output_mode="append")
+    q.awaitTermination(120)
+
+    stream_rows = sorted(
+        (r.mmsi, r.longitude) for r in spark.table("pp_stream").collect()
+    )
+    batch_rows = sorted(
+        (r.mmsi, r.longitude) for r in preprocess_from_envelope(env).collect()
+    )
+    assert stream_rows == batch_rows and len(stream_rows) == 4
