@@ -1,0 +1,86 @@
+"""Benchmark harness — the driver's per-round BENCH entry point.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan build + execution + result drain via a
+count over the full result — no driver-side collect of wide data). The
+headline ``value`` is the total wall time of the suite; per-query seconds
+are reported under ``queries``.
+
+The suite covers every distinct physical shape in the engine: windowed
+dedup/rank state (flagship), hash aggregation, broadcast + shuffle joins,
+analytic windows, sliding event-time windows, MinHash dedup, and brute-force
+similarity — the shapes whose 100 TB behavior matters most.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streaming_data_pipeline_capstone_spark.registry import all_queries
+from streaming_data_pipeline_capstone_spark.session import get_spark
+
+# Headline suite: one representative per physical shape, heaviest inputs.
+BENCH_QUERIES = [
+    "flagship_last3_rolling",   # window rank + rolling avg over events
+    "agg_pricing_summary",      # TPC-H Q1-shaped hash agg over lineitem
+    "join_regional_revenue",    # TPC-H Q5-shaped multi-join
+    "join_topk_orders",         # join + per-group top-k window
+    "window_running_sum",       # analytic window over orders
+    "stream_sliding_per_key",   # sliding event-time window agg over events
+    "dedup_minhash_lsh",        # shingle → minhash → band join over documents
+    "sim_topk_bruteforce",      # cosine top-k over embeddings
+    "scalar_clean_filter",      # scalar/filter pipeline over events
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    qs = all_queries()
+
+    # Warm the JVM/codegen path once with a trivial action so q1's time
+    # isn't dominated by session startup.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -47,8 +47,18 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingles array<string>) — the input to both MinHash and exact
-    Jaccard."""
-    return df.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles"))
+    Jaccard.
+
+    Tokenization is projected into its own column before shingling so the
+    per-document split runs once, not once per lambda reference (see
+    shingles_from_tokens docstring; Catalyst's CollapseProject keeps the
+    boundary because the token array is non-cheap and multiply-referenced).
+    """
+    from streaming_data_pipeline_capstone_spark.operators.textstats import shingles_from_tokens, tokens
+
+    return df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t")).select(
+        "doc", shingles_from_tokens(F.col("t"), n).alias("shingles")
+    )
 
 
 def minhash_signatures(
@@ -84,24 +94,40 @@ def lsh_bands(
     )
 
 
-def candidate_pairs_from_bands(bands_df: DataFrame) -> DataFrame:
-    """Distinct (doc1 < doc2) pairs sharing at least one LSH bucket.
+def _bucket_pair_instances(bucketed: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(doc1 < doc2) pair per shared bucket, WITH multiplicity (one row per
+    bucket the pair co-occupies).
 
-    Self-join on (band_id, bh): the shuffle key is the bucket hash, so
-    only same-bucket rows ever meet — no O(n²) comparison.
+    One shuffle keyed on the bucket: members are collected per bucket and
+    pairs generated with a nested ``transform`` — no self-join, so the
+    upstream pipeline is evaluated once, not twice. Only same-bucket rows
+    ever meet, so pairwise work is O(Σ bucket²), not O(n²). Known scale
+    hazard: a pathological hot bucket (thousands of byte-identical docs)
+    makes one task quadratic — run exact dedup first (X1) so identical
+    docs collapse before LSH, the standard pipeline order at 100 TB.
     """
-    a = bands_df.alias("a")
-    b = bands_df.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
-        .distinct()
+    grouped = bucketed.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_set("doc")).alias("members")
     )
+    pairs = F.flatten(
+        F.transform(
+            "members",
+            lambda x, i: F.transform(
+                F.slice("members", i + 2, F.size("members")),
+                lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
+            ),
+        )
+    )
+    return (
+        grouped.filter(F.size("members") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc1", "p.doc2")
+    )
+
+
+def candidate_pairs_from_bands(bands_df: DataFrame) -> DataFrame:
+    """Distinct (doc1 < doc2) pairs sharing at least one LSH bucket."""
+    return _bucket_pair_instances(bands_df, ["band_id", "bh"]).distinct()
 
 
 def jaccard_verify(
@@ -134,8 +160,13 @@ def minhash_lsh_dedup(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: verified (doc1, doc2, jaccard)."""
-    sets_df = shingle_sets(df, id_col, text_col, shingle_n)
+    """Full MinHash-LSH near-dup pipeline: verified (doc1, doc2, jaccard).
+
+    The shingle index feeds three consumers (signatures, both sides of the
+    Jaccard verify) — it is persisted rather than recomputed: the dedup
+    pipeline's deliberate materialization point, exactly where a 100 TB
+    run would checkpoint the index to parquet."""
+    sets_df = shingle_sets(df, id_col, text_col, shingle_n).persist()
     sigs = minhash_signatures(sets_df, num_hashes)
     cands = candidate_pairs_from_bands(lsh_bands(sigs, num_hashes, bands))
     return jaccard_verify(cands, sets_df, threshold)
@@ -150,15 +181,26 @@ def ngram_jaccard_pairs(
     shingle); exact for validation, O(pairs-sharing-a-shingle) at scale —
     prefer minhash_lsh_dedup beyond small corpora.
     """
-    sets_df = shingle_sets(df, id_col, text_col, shingle_n)
+    sets_df = shingle_sets(df, id_col, text_col, shingle_n).persist()
     inv = sets_df.select("doc", F.explode("shingles").alias("sh"))
-    a, b = inv.alias("a"), inv.alias("b")
-    cands = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
-        .distinct()
+    # |A ∩ B| = number of inverted-index buckets both docs occupy: count
+    # pair instances instead of re-intersecting shingle arrays per pair.
+    # (Shingle arrays are distinct per doc, so multiplicity = overlap.)
+    inter = (
+        _bucket_pair_instances(inv, ["sh"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_inter"))
     )
-    return jaccard_verify(cands, sets_df, threshold)
+    sizes = sets_df.select("doc", F.size("shingles").alias("sz"))
+    s1 = sizes.select(F.col("doc").alias("doc1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc").alias("doc2"), F.col("sz").alias("sz2"))
+    jac = F.col("n_inter").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("n_inter"))
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash_bits(text_col: Column | str, nibbles: int = 16) -> Column:
