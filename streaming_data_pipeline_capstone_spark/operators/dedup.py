@@ -53,9 +53,17 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     per-document split runs once, not once per lambda reference (see
     shingles_from_tokens docstring; Catalyst's CollapseProject keeps the
     boundary because the token array is non-cheap and multiply-referenced).
+
+    Shingling is CPU-bound, so a single-row-group input file (everything
+    serial) would waste the cluster: if the scan has fewer partitions than
+    cores, spread it first. At real scale inputs carry far more row groups
+    than cores and the repartition never fires.
     """
     from streaming_data_pipeline_capstone_spark.operators.textstats import shingles_from_tokens, tokens
 
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     return df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t")).select(
         "doc", shingles_from_tokens(F.col("t"), n).alias("shingles")
     )

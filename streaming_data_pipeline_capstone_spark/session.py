@@ -52,6 +52,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Split small file scans to full parallelism (byte-range splits, no
+        # shuffle). Without this a single small parquet file reads as ONE
+        # partition and every downstream expression runs serially — measured
+        # 2.8s → 0.4s on sf0.1 document shingling. At 100 TB the scan has
+        # far more splits than cores, so this is a no-op there.
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
