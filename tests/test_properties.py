@@ -1,0 +1,189 @@
+"""Property-based tests (SURVEY §5.4): engine Column expressions vs
+plain-Python reference implementations on hypothesis-generated data.
+
+One Spark job per example is slow, so each property batches the whole
+generated list into a single DataFrame and max_examples stays small —
+breadth comes from the generators, not the example count.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_capstone_spark.functions.cleaning import (
+    bbox_filter,
+    null_sentinels,
+    rot_decode,
+)
+from streaming_data_pipeline_capstone_spark.functions.geo import haversine_km, wkt_point_lonlat
+from streaming_data_pipeline_capstone_spark.operators.textstats import (
+    shingles_from_tokens,
+    tokens,
+)
+from streaming_data_pipeline_capstone_spark.operators.windows import last_k_per_key
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+finite = st.floats(allow_nan=False, allow_infinity=False, width=32)
+
+
+@SETTINGS
+@given(st.lists(finite, min_size=1, max_size=50))
+def test_rot_decode_matches_formula(spark, xs):
+    rows = [(i, float(x)) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "i int, x double")
+    got = {r["i"]: r["y"] for r in df.select("i", rot_decode("x").alias("y")).collect()}
+    for i, x in rows:
+        expect = math.copysign((abs(x) / 4.733) ** 2, x) if x != 0 else 0.0
+        assert got[i] == pytest.approx(expect, rel=1e-12, abs=1e-300)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-90, max_value=90, allow_nan=False),
+            st.floats(min_value=-180, max_value=180, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_bbox_filter_is_exact_strict_range(spark, pts):
+    rows = [(i, float(la), float(lo)) for i, (la, lo) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "i int, lat double, lon double")
+    kept = {r["i"] for r in df.filter(bbox_filter("lat", "lon")).collect()}
+    for i, la, lo in rows:
+        # the reference's exact strict comparisons (preprocess.py:54)
+        assert (i in kept) == (7.0 < la < 23.0 and 105.0 < lo < 123.0)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-180, max_value=180, allow_nan=False),
+            st.floats(min_value=-85, max_value=85, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_haversine_metric_properties(spark, pts):
+    pairs = [
+        (i, float(lo1), float(la1), float(lo2), float(la2))
+        for i, ((lo1, la1), (lo2, la2)) in enumerate(zip(pts, pts[1:] + pts[:1]))
+    ]
+    df = spark.createDataFrame(pairs, "i int, lon1 double, lat1 double, lon2 double, lat2 double")
+    out = df.select(
+        "i",
+        haversine_km("lon1", "lat1", "lon2", "lat2").alias("d12"),
+        haversine_km("lon2", "lat2", "lon1", "lat1").alias("d21"),
+        haversine_km("lon1", "lat1", "lon1", "lat1").alias("dself"),
+    ).collect()
+    for r in out:
+        assert r["d12"] >= 0.0
+        assert r["d12"] == pytest.approx(r["d21"], rel=1e-9)  # symmetric
+        assert r["dself"] == pytest.approx(0.0, abs=1e-6)  # identity
+        assert r["d12"] <= 20016.0 + 1.0  # ≤ half Earth circumference
+
+
+_token = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+
+
+@SETTINGS
+@given(st.lists(st.lists(_token, min_size=0, max_size=20), min_size=1, max_size=20))
+def test_shingles_match_naive_python(spark, docs):
+    n = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "i int, text string")
+    got = {
+        r["i"]: r["sh"]
+        for r in df.select("i", tokens("text").alias("t"))
+        .select("i", shingles_from_tokens(F.col("t"), n).alias("sh"))
+        .collect()
+    }
+    for i, text in rows:
+        toks = text.strip().lower().split() if text.strip() else [""]
+        if len(toks) < n:
+            expect = [" ".join(toks)]
+        else:
+            seen: list[str] = []
+            for j in range(len(toks) - n + 1):
+                g = " ".join(toks[j : j + n])
+                if g not in seen:
+                    seen.append(g)
+            expect = seen
+        assert got[i] == expect, (text, got[i], expect)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000), finite),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_last_k_per_key_invariants(spark, rows_in):
+    rows = [(int(k), int(t), float(v), i) for i, (k, t, v) in enumerate(rows_in)]
+    df = spark.createDataFrame(rows, "k int, t long, v double, uid long")
+    out = last_k_per_key(df, key="k", order_col="t", k=3, tiebreak="uid").collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    src_by_key: dict[int, list] = {}
+    for k, t, v, uid in rows:
+        src_by_key.setdefault(k, []).append((t, uid))
+    for k, kept in by_key.items():
+        # never more than K rows per key, rn is 1..K and unique
+        assert len(kept) <= 3
+        assert sorted(r["rn"] for r in kept) == list(range(1, len(kept) + 1))
+        # kept rows are exactly the top-3 by (t, uid) descending
+        expect = sorted(src_by_key[k], reverse=True)[:3]
+        assert sorted(((r["t"], r["uid"]) for r in kept), reverse=True) == expect
+    # every source key with rows appears
+    assert set(by_key) == set(src_by_key)
+
+
+def test_wkt_malformed_degrades_to_null(spark):
+    rows = [
+        (0, "POINT(105.5 8.25)"),
+        (1, "POINT(-0.1 -89.9)"),
+        (2, "not a point"),
+        (3, ""),
+        (4, None),
+        (5, "POINT()"),
+        (6, "POINT(1 2 3)"),
+        (7, "LINESTRING(1 2)"),  # letters stripped → still two numbers
+    ]
+    df = spark.createDataFrame(rows, "i int, p string")
+    got = {r["i"]: r["c"] for r in df.select("i", wkt_point_lonlat("p").alias("c")).collect()}
+    assert got[0] == pytest.approx([105.5, 8.25])
+    assert got[1] == pytest.approx([-0.1, -89.9])
+    assert got[2] is None
+    assert got[3] is None
+    assert got[4] is None
+    assert got[5] is None
+    assert got[6] is None  # three numbers → not a point
+    assert got[7] == pytest.approx([1.0, 2.0])
+
+
+def test_null_sentinels(spark):
+    df = spark.createDataFrame(
+        [(0, 511.0), (1, 10.0), (2, -128.0), (3, None)], "i int, v double"
+    )
+    got = {
+        r["i"]: r["v2"]
+        for r in df.select("i", null_sentinels("v", 511.0, -128.0).alias("v2")).collect()
+    }
+    assert got == {0: None, 1: 10.0, 2: None, 3: None}
