@@ -53,29 +53,34 @@ def _fake_decode_features(payload: bytes) -> list[float]:
     return [b / 255.0 for b in head]
 
 
-def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def extract_features(
+    df: DataFrame, payload_col: str = "payload", id_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas`` so each Python worker sees whole record batches (not
-    rows); the output keeps only compact columns — payload is dropped on
-    the way out, which is what you want before any downstream shuffle.
+    rows); the output keeps only compact columns (optional ``id_cols``
+    pass through untouched) — payload is dropped on the way out, which is
+    what you want before any downstream shuffle.
     """
+    ids = [df.schema[c] for c in id_cols]
     out_schema = T.StructType(
         [
+            *ids,
             T.StructField("checksum", T.StringType(), False),
             T.StructField("features", T.ArrayType(T.FloatType()), False),
         ]
     )
-    src = df.select(F.md5(F.col(payload_col)).alias("checksum"), F.col(payload_col).alias("p"))
+    src = df.select(
+        *id_cols, F.md5(F.col(payload_col)).alias("checksum"), F.col(payload_col).alias("p")
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "checksum": pdf["checksum"],
-                    "features": pdf["p"].map(_fake_decode_features),
-                }
-            )
+            out = {c: pdf[c] for c in id_cols}
+            out["checksum"] = pdf["checksum"]
+            out["features"] = pdf["p"].map(_fake_decode_features)
+            yield pd.DataFrame(out)
 
     return src.mapInPandas(batches, out_schema)
 

@@ -141,6 +141,37 @@ def ivf_cell(vec: F.Column, dim: int = _IVF_DIM, n_proj: int = _N_PROJ) -> F.Col
     return F.concat(*bits)
 
 
+# -- X5b: multimodal feature extraction (the mapInPandas Arrow path) ---------
+# The fake decode (first FEATURE_DIM payload bytes / 255, zero-padded) is
+# deterministic, so even the Python-worker path gets a full DuckDB value
+# check: documents are ASCII, so byte i == unicode(char i), and both engines
+# pass the value through float32 so the doubles compare bit-identically.
+@register(
+    "multimodal_extract_features",
+    """
+    SELECT doc_id,
+           md5(text) AS checksum,
+           list_transform(range(1, 9), i ->
+             CASE WHEN i <= length(text)
+                  THEN CAST(CAST(unicode(substr(text, i, 1)) / 255.0 AS REAL) AS DOUBLE)
+                  ELSE 0.0 END) AS features
+    FROM documents
+    """,
+)
+def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_pipeline_capstone_spark.operators.multimodal import (
+        extract_features,
+        pack_binary,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    packed = pack_binary(docs, "text")
+    feats = extract_features(packed, id_cols=("doc_id",))
+    return feats.select(
+        "doc_id", "checksum", F.transform("features", lambda x: x.cast("double")).alias("features")
+    )
+
+
 @register(
     "sim_topk_ivf",
     f"""
