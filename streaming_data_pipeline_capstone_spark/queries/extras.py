@@ -107,6 +107,46 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- X3d: Arrow-vectorized brute-force top-k (the wide-fanout scale path) ----
+# Same oracle as sim_topk_bruteforce: identical semantics, different physical
+# path — a numpy-batch pandas_udf instead of interpreted higher-order Column
+# functions. At 100 TB this is how you score millions of candidates per
+# partition: one BLAS matrix-vector product per Arrow batch; the tiny query
+# vector ships driver→executor as a closure constant, never joined.
+@register(
+    "sim_topk_pandas",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine_sim
+    FROM e CROSS JOIN q
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 20
+    """,
+)
+def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0], dtype=np.float64
+    )
+    qn = float(np.sqrt((qv * qv).sum()))
+
+    @pandas_udf("double")
+    def cos(col):
+        m = np.stack(col.to_numpy()).astype(np.float64)
+        return pd.Series((m @ qv) / (np.sqrt((m * m).sum(axis=1)) * qn))
+
+    return (
+        emb.select("vec_id", F.round(cos("embedding"), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
 # -- X3c: IVF-bucketed ANN (the partition-pruned scale path) -----------------
 _IVF_DIM = 64
 _N_PROJ = 3  # 2^3 = 8 coarse cells

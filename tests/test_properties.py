@@ -187,3 +187,46 @@ def test_null_sentinels(spark):
         for r in df.select("i", null_sentinels("v", 511.0, -128.0).alias("v2")).collect()
     }
     assert got == {0: None, 1: 10.0, 2: None, 3: None}
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 600), finite),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_gap_fill_invariants(spark, rows_in):
+    from streaming_data_pipeline_capstone_spark.streaming.state import gap_fill_interpolate
+
+    rows = [(int(k), int(t) * 1_000_000, float(v)) for k, t, v in rows_in]
+    df = spark.createDataFrame(rows, "k int, t_us long, v double").select(
+        "k", F.timestamp_micros(F.col("t_us")).alias("ts"), "v"
+    )
+    out = gap_fill_interpolate(df, key="k", ts_col="ts", value_cols=["v"], gap="60 seconds", step="60 seconds").collect()
+
+    originals = [r for r in out if r["is_interpolated"] == 0]
+    synth = [r for r in out if r["is_interpolated"] == 1]
+    # originals pass through exactly
+    assert sorted((r["k"], r["ts"]) for r in originals) == sorted(
+        (k, __import__("datetime").datetime.utcfromtimestamp(t / 1e6)) for k, t, _ in rows
+    )
+    # synthetic points: per key, each sits strictly inside a gap > 60s and
+    # on the 60s grid from the gap's left edge; values inside the endpoints
+    by_key: dict[int, list[tuple[int, float]]] = {}
+    for k, t, v in rows:
+        by_key.setdefault(k, []).append((t, v))
+    for k in by_key:
+        by_key[k].sort()
+    for r in synth:
+        k = r["k"]
+        t_us = int(r["ts"].timestamp() * 1e6)
+        series = by_key[k]
+        left = max((p for p in series if p[0] < t_us), key=lambda p: p[0])
+        right = min((p for p in series if p[0] > t_us), key=lambda p: p[0])
+        assert right[0] - left[0] > 60_000_000  # only in real gaps
+        assert (t_us - left[0]) % 60_000_000 == 0  # on the step grid
+        lo, hi = sorted((left[1], right[1]))
+        assert lo - 1e-6 <= r["v"] <= hi + 1e-6  # linear blend stays in range
