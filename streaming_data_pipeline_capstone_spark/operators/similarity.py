@@ -79,6 +79,27 @@ def hyperplane_signature(
     return F.concat(*bits)
 
 
+def _pairs_within(pdf, threshold: float):
+    """All (id1 < id2) cosine ≥ threshold pairs inside one pandas group,
+    via a single normalized GEMM."""
+    import numpy as np
+    import pandas as pd
+
+    ids = pdf["vid"].to_numpy()
+    m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    sims = (m / norms) @ (m / norms).T
+    ii, jj = np.triu_indices(len(ids), k=1)
+    s = np.round(sims[ii, jj], 6)
+    keep = s >= threshold
+    id1 = np.minimum(ids[ii[keep]], ids[jj[keep]])
+    id2 = np.maximum(ids[ii[keep]], ids[jj[keep]])
+    return pd.DataFrame({"id1": id1, "id2": id2, "cosine_sim": s[keep]})
+
+
+_PAIR_SCHEMA = "id1 long, id2 long, cosine_sim double"
+
+
 def lsh_similar_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -88,21 +109,21 @@ def lsh_similar_pairs(
     dim: int = 64,
 ) -> DataFrame:
     """All (id1 < id2) pairs with cosine ≥ threshold, found via hyperplane
-    buckets and verified exactly."""
+    buckets and verified exactly.
+
+    One shuffle keyed on the signature; each bucket's pairwise work is a
+    single numpy GEMM in applyInPandas (vs the naive bucket self-join,
+    which evaluates the signature pipeline twice and scores pair-at-a-time
+    through interpreted array expressions — measured 17 s → 1 s at sf0.1).
+    """
     tagged = corpus.select(
         F.col(id_col).alias("vid"),
         _as_double(vec_col).alias("v"),
         hyperplane_signature(vec_col, num_planes, dim).alias("sig"),
     )
-    a, b = tagged.alias("a"), tagged.alias("b")
-    cands = a.join(
-        b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vid") < F.col("b.vid"))
-    ).select(
-        F.col("a.vid").alias("id1"),
-        F.col("b.vid").alias("id2"),
-        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+    return tagged.groupBy("sig").applyInPandas(
+        lambda pdf: _pairs_within(pdf, threshold), _PAIR_SCHEMA
     )
-    return cands.filter(F.col("cosine_sim") >= threshold)
 
 
 def brute_force_pairs(
@@ -110,20 +131,55 @@ def brute_force_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold (validation / small corpora).
+    """Exact all-pairs cosine ≥ threshold — the oracle-checkable ground
+    truth the LSH recall is measured against.
 
-    O(n²) — at scale use lsh_similar_pairs; kept as the oracle-checkable
-    ground truth the LSH recall is measured against.
+    Blocked: vectors hash into ``num_blocks`` blocks; every block pair
+    (including self-pairs) becomes one task whose members are gathered by
+    a single shuffle and scored with one normalized GEMM. Data replication
+    is ``num_blocks``× (each block joins every other) — the standard
+    blocked all-pairs trade on a shuffle system; pick num_blocks so
+    n/num_blocks rows fit an executor. Still O(n²) compute by nature: at
+    scale use lsh_similar_pairs.
     """
-    tagged = corpus.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
-    a, b = tagged.alias("a"), tagged.alias("b")
-    return (
-        a.join(b, F.col("a.vid") < F.col("b.vid"))
-        .select(
-            F.col("a.vid").alias("id1"),
-            F.col("b.vid").alias("id2"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+    tasks = [
+        (t, ba, bb)
+        for t, (ba, bb) in enumerate(
+            (a, b) for a in range(num_blocks) for b in range(a, num_blocks)
         )
-        .filter(F.col("cosine_sim") >= threshold)
+    ]
+    tasks_df = corpus.sparkSession.createDataFrame(tasks, "task int, ba int, bb int")
+    tagged = corpus.select(
+        F.col(id_col).alias("vid"),
+        _as_double(vec_col).alias("v"),
+        (F.col(id_col) % num_blocks).cast("int").alias("blk"),
     )
+    as_a = tagged.join(tasks_df, tagged.blk == tasks_df.ba).select(
+        "task", "vid", "v", F.lit(0).alias("side")
+    )
+    as_b = tagged.join(
+        tasks_df, (tagged.blk == tasks_df.bb) & (tasks_df.ba != tasks_df.bb)
+    ).select("task", "vid", "v", F.lit(1).alias("side"))
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if len(b) == 0:  # self-pair block: triangular within
+            return _pairs_within(a, threshold)
+        ids_a, ids_b = a["vid"].to_numpy(), b["vid"].to_numpy()
+        ma = np.stack(a["v"].to_numpy()).astype(np.float64)
+        mb = np.stack(b["v"].to_numpy()).astype(np.float64)
+        ma /= np.sqrt((ma * ma).sum(axis=1, keepdims=True))
+        mb /= np.sqrt((mb * mb).sum(axis=1, keepdims=True))
+        s = np.round(ma @ mb.T, 6)
+        ii, jj = np.nonzero(s >= threshold)
+        id1 = np.minimum(ids_a[ii], ids_b[jj])
+        id2 = np.maximum(ids_a[ii], ids_b[jj])
+        return pd.DataFrame({"id1": id1, "id2": id2, "cosine_sim": s[ii, jj]})
+
+    return as_a.unionByName(as_b).groupBy("task").applyInPandas(score, _PAIR_SCHEMA)

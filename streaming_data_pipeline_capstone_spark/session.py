@@ -62,6 +62,15 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
+    # Large streaming state (per-key state at 100M+ keys) wants RocksDB
+    # instead of the default in-heap HDFS-backed provider: incremental
+    # checkpoints, state larger than executor heap. Opt-in so small local
+    # runs keep the zero-dependency default.
+    if os.environ.get("SPARK_GRAFT_ROCKSDB", "").lower() in ("1", "true"):
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

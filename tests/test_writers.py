@@ -90,3 +90,25 @@ def test_csv_roundtrip(spark, sf_smoke, tmpdir):
     write_csv(nation.select("n_nationkey", "n_name"), path)
     back = spark.read.option("header", "true").csv(path)
     assert back.count() == nation.count()
+
+
+def test_ivf_cell_partitioned_layout_prunes(spark, sf_smoke, tmpdir):
+    """The IVF scale path: embeddings written partitioned by coarse cell,
+    probes read only their cell's directory (partition-pruned scan)."""
+    from streaming_data_pipeline_capstone_spark.queries.extras import ivf_cell
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    cells = emb.withColumn("cell", ivf_cell(F.col("embedding")))
+    path = os.path.join(str(tmpdir), "emb_ivf")
+    write_parquet(cells, path, partition_by=["cell"])
+
+    back = spark.read.parquet(path)
+    some_cell = back.select("cell").head()["cell"]
+    probe = back.filter(F.col("cell") == some_cell).select("vec_id")
+    plan = _plan(probe)
+    assert "PartitionFilters" in plan and "cell" in plan
+    # at most 2^3 cells exist; the probe reads exactly one
+    dirs = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert 1 < len(dirs) <= 8
+    n_probe, n_all = probe.count(), back.count()
+    assert 0 < n_probe < n_all
