@@ -72,14 +72,26 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
 def minhash_signatures(
     sets_df: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
-    """k min-hashes per doc: min over shingles of md5(seed || '|' || shingle).
+    """k min-hashes per doc, 4 per md5: hash i = 8-hex-char chunk i%4 of
+    md5(seed(i//4) || '|' || shingle), minimized lexicographically.
 
-    One explode + one groupBy(doc) — a single exchange keyed by doc id;
-    the k mins are computed map-side (partial agg) before the shuffle.
+    Chunking cuts the md5 evaluations per shingle occurrence 4× vs one
+    md5 per hash; each 32-bit chunk of a uniform digest is itself a valid
+    uniform min-hash. The seeded digests are projected into columns before
+    the groupBy so each is computed once per row (same CSE-across-
+    expressions reasoning as shingle_sets). One explode + one exchange
+    keyed by doc id; the k mins combine map-side (partial agg).
     """
-    exploded = sets_df.select("doc", F.explode("shingles").alias("sh"))
+    n_seeds = (num_hashes + 3) // 4
+    exploded = sets_df.select("doc", F.explode("shingles").alias("sh")).select(
+        "doc",
+        *[
+            F.md5(F.concat(F.lit(f"{s}|"), F.col("sh"))).alias(f"h{s}")
+            for s in range(n_seeds)
+        ],
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh{i}")
+        F.min(F.substring(F.col(f"h{i // 4}"), (i % 4) * 8 + 1, 8)).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return exploded.groupBy("doc").agg(*aggs)

@@ -63,10 +63,15 @@ _JACCARD = (
 
 
 def _minhash_sql(num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS) -> str:
-    """DuckDB replica of the engine's MinHash-LSH candidate generation."""
+    """DuckDB replica of the engine's MinHash-LSH candidate generation
+    (chunked scheme: 4 hashes per seeded md5 — operators/dedup.py)."""
     r = num_hashes // bands
+    n_seeds = (num_hashes + 3) // 4
+    h_cols = ",\n           ".join(
+        f"md5(concat('{s}|', s)) AS h{s}" for s in range(n_seeds)
+    )
     mh_cols = ",\n           ".join(
-        f"min(md5(concat('{i}|', s))) AS mh{i}" for i in range(num_hashes)
+        f"min(substr(h{i // 4}, {(i % 4) * 8 + 1}, 8)) AS mh{i}" for i in range(num_hashes)
     )
     band_selects = "\n    UNION ALL ".join(
         "SELECT doc, {b} AS band_id, md5(concat_ws('|', {parts})) AS bh FROM sigs".format(
@@ -76,10 +81,15 @@ def _minhash_sql(num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BAND
     )
     return f"""
   sh AS (SELECT doc, unnest(shingles) AS s FROM sets),
+  hashed AS (
+    SELECT doc,
+           {h_cols}
+    FROM sh
+  ),
   sigs AS (
     SELECT doc,
            {mh_cols}
-    FROM sh GROUP BY doc
+    FROM hashed GROUP BY doc
   ),
   bands AS (
     {band_selects}

@@ -230,3 +230,42 @@ def test_gap_fill_invariants(spark, rows_in):
         assert (t_us - left[0]) % 60_000_000 == 0  # on the step grid
         lo, hi = sorted((left[1], right[1]))
         assert lo - 1e-6 <= r["v"] <= hi + 1e-6  # linear blend stays in range
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 999)),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+def test_asof_join_matches_naive(spark, left_in, right_in):
+    from streaming_data_pipeline_capstone_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t * 1_000_000) for k, t in left_in], "k int, lt_us long"
+    ).select("k", F.timestamp_micros(F.col("lt_us")).alias("lt"))
+    right = spark.createDataFrame(
+        [(k, t * 1_000_000, p) for k, t, p in right_in] or [(99, 0, 0)],
+        "k int, rt_us long, payload int",
+    ).select("k", F.timestamp_micros(F.col("rt_us")).alias("rt"), "payload")
+
+    out = asof_join(left, right, key="k", left_ts="lt", right_ts="rt")
+    got = {(r["k"], r["lt"].timestamp()): r["payload"] for r in out.collect()}
+
+    rights = sorted((k, t, p) for k, t, p in (right_in or []))
+    for k, t in left_in:
+        best = None
+        for rk, rt, p in rights:
+            if rk == k and rt <= t:  # latest right with rt <= lt
+                best = p
+        assert got[(k, float(t))] == best, (k, t, got, rights)
+    assert len(got) == len(left_in)  # exactly one output row per left row

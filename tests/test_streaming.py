@@ -233,3 +233,29 @@ def test_streaming_preprocess_parity(spark, tmpdir):
         (r.mmsi, r.longitude) for r in preprocess_from_envelope(env).collect()
     )
     assert stream_rows == batch_rows and len(stream_rows) == 4
+
+
+def test_stream_static_join_enriches(spark, tmpdir):
+    """J2: stream-static enrichment — the reference's seed-frame union
+    (predict_path.py:47-53) done the native way: a static dimension joined
+    into the stream; Spark re-plans the join per micro-batch."""
+    rows = [
+        (1, _t(0), 5.0),
+        (2, _t(1), 7.0),
+        (3, _t(2), 9.0),  # no dim row → left join keeps it with nulls
+    ]
+    schema = replay_to_files(_events_df(spark, rows), tmpdir + "/replay", 2, order_col="ts")
+    stream = stream_from_replay(spark, tmpdir + "/replay", schema)
+
+    dim = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (4, "unused")], "user_id long, label string"
+    )
+    enriched = stream.join(dim, "user_id", "left")
+    out = to_memory(enriched, "enriched", available_now=True)
+    out.awaitTermination()
+
+    got = {
+        r["user_id"]: r["label"]
+        for r in spark.table("enriched").collect()
+    }
+    assert got == {1: "alpha", 2: "beta", 3: None}
