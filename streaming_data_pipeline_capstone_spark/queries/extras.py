@@ -181,6 +181,90 @@ def ivf_cell(vec: F.Column, dim: int = _IVF_DIM, n_proj: int = _N_PROJ) -> F.Col
     return F.concat(*bits)
 
 
+# -- exact percentiles (A-family breadth: ordered-set aggregates) ------------
+@register(
+    "agg_percentiles",
+    """
+    SELECT o_orderstatus,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90,
+           round(percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == ANSI
+    percentile_cont). The approx twin for 100 TB is `approx_percentile`,
+    same call shape — exact here so the oracle can value-match."""
+    orders = read_table(spark, sf_dir, "orders")
+    pct = lambda p: F.round(F.expr(f"percentile(o_totalprice, {p})"), 4)  # noqa: E731
+    return orders.groupBy("o_orderstatus").agg(
+        pct(0.5).alias("p50"), pct(0.9).alias("p90"), pct(0.99).alias("p99")
+    )
+
+
+# -- statistical aggregates (A-family breadth) -------------------------------
+@register(
+    "agg_stats_lineitem",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(skewness(l_discount), 4) AS skew_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        # 4 dp: skewness accumulation order differs across engines at ~1e-6
+        F.round(F.skewness("l_discount"), 4).alias("skew_disc"),
+    )
+
+
+# -- datetime scalar breadth (F-family: truncation, parts, arithmetic) -------
+@register(
+    "scalar_datetime_parts",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS order_month,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
+           CAST(CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS VARCHAR) AS due_date
+    FROM orders
+    """,
+)
+def scalar_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date part extraction / truncation / arithmetic. DuckDB dayofweek is
+    0=Sunday vs Spark 1=Sunday — bridged by Spark's `weekday`+conversion?
+    No: Spark dayofweek is 1=Sunday..7; DuckDB dayofweek 0=Sunday..6, so
+    Spark emits dayofweek-1 to match ANSI-ish 0-based."""
+    orders = read_table(spark, sf_dir, "orders")
+    # dates emitted as yyyy-MM-dd strings: DATE columns surface as
+    # date-vs-midnight-timestamp inconsistently across engine drivers
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"),
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_95"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 90), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+    )
+
+
 # -- X5b: multimodal feature extraction (the mapInPandas Arrow path) ---------
 # The fake decode (first FEATURE_DIM payload bytes / 255, zero-padded) is
 # deterministic, so even the Python-worker path gets a full DuckDB value
