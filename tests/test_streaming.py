@@ -259,3 +259,35 @@ def test_stream_static_join_enriches(spark, tmpdir):
         for r in spark.table("enriched").collect()
     }
     assert got == {1: "alpha", 2: "beta", 3: None}
+
+
+def test_last_k_state_on_rocksdb_provider(spark, tmpdir):
+    """T5 on the RocksDB state store (the 100 TB provider: incremental
+    checkpoints, state off-heap) — same semantics as the default provider."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rows = [(1, _t(m), float(m)) for m in range(6)] + [(2, _t(0), 1.0)]
+        schema = replay_to_files(_events_df(spark, rows), tmpdir + "/replay", 3, order_col="ts")
+        stream = stream_from_replay(spark, tmpdir + "/replay", schema)
+        out = last_k_per_key_stream(
+            stream, key="user_id", ts_col="ts", value_cols=["value"], k=3
+        )
+        q = to_memory(out, "rocksdb_state_t", output_mode="update", available_now=True)
+        q.awaitTermination()
+        final = {
+            (r["user_id"], r["rn"]): r["value"]
+            for r in spark.table("rocksdb_state_t").collect()
+            if r["user_id"] == 1 and r["value"] >= 3.0 or r["user_id"] == 2
+        }
+        # last emission for key 1 holds the 3 most recent values 5,4,3
+        assert final[(1, 1)] == 5.0 and final[(1, 2)] == 4.0 and final[(1, 3)] == 3.0
+        assert final[(2, 1)] == 1.0
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
