@@ -181,6 +181,74 @@ def ivf_cell(vec: F.Column, dim: int = _IVF_DIM, n_proj: int = _N_PROJ) -> F.Col
     return F.concat(*bits)
 
 
+# -- the FULL AIS preprocess chain, oracle-replicated end to end -------------
+# events dressed as wire JSON (lat range widened so the bbox filter actually
+# drops rows) → envelope decode → WKT extract → bbox → ECEF → quoted-'Z'
+# timestamp parse (floor to second) → sentinel null-out → signed ROT decode.
+# The oracle recomputes every derivation from the source columns — the JSON
+# and WKT string roundtrips are lossless (shortest-round-trip doubles; exact
+# .25/.5 fractions), so values match bit-for-bit before rounding.
+_ECEF_N = (
+    "(6378137.0 / sqrt(1.0 - ((1.0/298.257223563)*(2.0 - 1.0/298.257223563))"
+    " * pow(sin(radians(lat)), 2)))"
+)
+
+
+@register(
+    "pipeline_preprocess_full",
+    f"""
+    WITH src AS (
+      SELECT user_id, event_id, value,
+             date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s,
+             105.0 + CAST(user_id % 18 AS DOUBLE) + 0.25 AS lon,
+             5.0 + CAST(event_id % 20 AS DOUBLE) + 0.5 AS lat
+      FROM events
+    ), kept AS (
+      SELECT * FROM src
+      WHERE lat > 7.0 AND lat < 23.0 AND lon > 105.0 AND lon < 123.0
+    )
+    SELECT CAST(user_id AS INT) AS mmsi,
+           ts_s AS timestamp_utc,
+           round(value, 6) AS speed_over_ground,
+           round(value * 7 % 360, 6) AS course_over_ground,
+           CASE WHEN event_id % 11 = 0 THEN NULL
+                ELSE round(sign(value % 20 - 10)
+                           * pow(abs(value % 20 - 10) / 4.733, 2), 6)
+           END AS rate_of_turn,
+           lon AS longitude,
+           lat AS latitude,
+           round(({_ECEF_N} + 124.0) * cos(radians(lat)) * cos(radians(lon)), 4)
+             AS cartesian_x,
+           round(({_ECEF_N} + 124.0) * cos(radians(lat)) * sin(radians(lon)), 4)
+             AS cartesian_y,
+           CASE WHEN event_id % 9 = 0 THEN NULL
+                ELSE round(value % 360, 6) END AS true_heading
+    FROM kept
+    """,
+)
+def pipeline_preprocess_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_pipeline_capstone_spark.plans.preprocess import (
+        preprocess_from_envelope,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.replay import ais_wire_from_events
+
+    events = read_table(spark, sf_dir, "events")
+    wire = ais_wire_from_events(events, lat_base=5.0, lat_mod=20)
+    processed = preprocess_from_envelope(wire, decode_rot=True)
+    return processed.select(
+        "mmsi",
+        "timestamp_utc",
+        F.round("speed_over_ground", 6).alias("speed_over_ground"),
+        F.round("course_over_ground", 6).alias("course_over_ground"),
+        F.round("rate_of_turn", 6).alias("rate_of_turn"),
+        "longitude",
+        "latitude",
+        F.round("cartesian_x", 4).alias("cartesian_x"),
+        F.round("cartesian_y", 4).alias("cartesian_y"),
+        F.round("true_heading", 6).alias("true_heading"),
+    )
+
+
 # -- exact percentiles (A-family breadth: ordered-set aggregates) ------------
 @register(
     "agg_percentiles",

@@ -64,3 +64,48 @@ def rate_to_envelope(rate_df: DataFrame) -> DataFrame:
     return rate_df.select(
         F.to_json(F.struct("timestamp", "value")).cast("binary").alias("value")
     )
+
+
+def ais_wire_from_events(
+    events: DataFrame,
+    lat_base: float = 7.0,
+    lat_mod: int = 16,
+    lon_base: float = 105.0,
+    lon_mod: int = 18,
+) -> DataFrame:
+    """Dress the testdata ``events`` table as the reference's AIS wire JSON
+    envelope (the ``position_history`` topic's message shape).
+
+    Deterministic pseudo lon/lat derive from the integer keys (exact in
+    fp64; defaults sit inside the reference bbox — widen ``lat_base``/
+    ``lat_mod`` to make the bbox filter actually drop rows). Message types
+    cycle through the kept position-report set; AIS "not available"
+    sentinels (511 heading, -128 ROT) are injected on a fixed cadence.
+    """
+    from streaming_data_pipeline_capstone_spark.schemas import (
+        encode_json_envelope,
+        format_ts_z,
+    )
+
+    lon = F.lit(lon_base) + (F.col("user_id") % lon_mod).cast("double") + F.lit(0.25)
+    lat = F.lit(lat_base) + (F.col("event_id") % lat_mod).cast("double") + F.lit(0.5)
+    mt = F.element_at(
+        F.array(*[F.lit(t) for t in (1, 2, 3, 18, 27)]),
+        (F.col("event_id") % 5 + 1).cast("int"),
+    )
+    wire = events.select(
+        format_ts_z(F.col("ts")).alias("timestamp_utc"),
+        F.col("user_id").cast("int").alias("mmsi"),
+        F.concat(F.lit("POINT("), lon, F.lit(" "), lat, F.lit(")")).alias("position"),
+        mt.alias("message_type"),
+        F.col("value").alias("speed_over_ground"),
+        (F.col("value") * 7 % 360).alias("course_over_ground"),
+        F.when(F.col("event_id") % 9 == 0, 511.0)
+        .otherwise(F.col("value") % 360)
+        .alias("true_heading"),
+        F.when(F.col("event_id") % 11 == 0, -128.0)
+        .otherwise(F.col("value") % 20 - 10)
+        .alias("rate_of_turn"),
+        (F.col("event_id") % 16).cast("double").alias("navigation_status"),
+    )
+    return encode_json_envelope(wire)

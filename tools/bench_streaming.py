@@ -28,52 +28,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
-
 from streaming_data_pipeline_capstone_spark.plans.preprocess import (
     kinematic_aggs,
     preprocess_from_envelope,
 )
-from streaming_data_pipeline_capstone_spark.schemas import encode_json_envelope, format_ts_z
 from streaming_data_pipeline_capstone_spark.session import get_spark
 from streaming_data_pipeline_capstone_spark.sources.readers import read_table
 from streaming_data_pipeline_capstone_spark.sources.replay import (
+    ais_wire_from_events,
     replay_to_files,
     stream_from_replay,
 )
 
 NUM_CHUNKS = 10
-
-
-def ais_wire_from_events(events):
-    """Dress the events table as the reference's 17-col AIS wire JSON.
-
-    Coordinates are deterministic pseudo lon/lat inside the reference bbox
-    (so the bbox filter keeps them all — worst case for throughput);
-    message types cycle through the kept position-report set.
-    """
-    lon = F.expr("CAST(105 + user_id % 18 AS DOUBLE) + 0.25")
-    lat = F.expr("CAST(7 + event_id % 16 AS DOUBLE) + 0.5")
-    mt = F.element_at(
-        F.array(*[F.lit(t) for t in (1, 2, 3, 18, 27)]),
-        (F.col("event_id") % 5 + 1).cast("int"),
-    )
-    wire = events.select(
-        format_ts_z(F.col("ts")).alias("timestamp_utc"),
-        F.col("user_id").cast("int").alias("mmsi"),
-        F.concat(F.lit("POINT("), lon, F.lit(" "), lat, F.lit(")")).alias("position"),
-        mt.alias("message_type"),
-        F.col("value").alias("speed_over_ground"),
-        (F.col("value") * 7 % 360).alias("course_over_ground"),
-        F.when(F.col("event_id") % 9 == 0, 511.0)
-        .otherwise(F.col("value") % 360)
-        .alias("true_heading"),
-        F.when(F.col("event_id") % 11 == 0, -128.0)
-        .otherwise(F.col("value") % 20 - 10)
-        .alias("rate_of_turn"),
-        (F.col("event_id") % 16).cast("double").alias("navigation_status"),
-    )
-    return encode_json_envelope(wire)
 
 
 def main() -> None:
