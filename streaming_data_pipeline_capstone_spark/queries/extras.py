@@ -249,6 +249,101 @@ def pipeline_preprocess_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- the FULL predict chain (entry point C batch twin), oracle-replicated ----
+# last-3-per-key rank (W1/W2) → per-key step distance (F7, haversine over
+# lag) → path angle through the two previous kept points (F8, atan2) →
+# pandas_udf trajectory score (U-3). One hash exchange on the key serves
+# the rank and every window behind it.
+@register(
+    "pipeline_predict_full",
+    """
+    WITH src AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             105.0 + CAST(user_id % 18 AS DOUBLE) + 0.25 AS lon,
+             7.0 + CAST(event_id % 16 AS DOUBLE) + 0.5 AS lat
+      FROM events
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS INTEGER) AS rn
+      FROM src
+    ), kept AS (
+      SELECT * FROM ranked WHERE rn <= 3
+    ), lagged AS (
+      SELECT *,
+             lag(lon) OVER w AS lon_p, lag(lat) OVER w AS lat_p,
+             lag(lon, 2) OVER w AS lon_p2, lag(lat, 2) OVER w AS lat_p2
+      FROM kept WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, rn,
+           round(2.0 * 6371.0 * asin(sqrt(
+             pow(sin((radians(lat) - radians(lat_p)) / 2), 2)
+             + cos(radians(lat_p)) * cos(radians(lat))
+               * pow(sin((radians(lon) - radians(lon_p)) / 2), 2)
+           )), 4) AS step_km,
+           round(CASE
+             WHEN degrees(abs(atan2(lat - lat_p, lon - lon_p)
+                            - atan2(lat_p - lat_p2, lon_p - lon_p2))) > 180.0
+             THEN 360.0 - degrees(abs(atan2(lat - lat_p, lon - lon_p)
+                                     - atan2(lat_p - lat_p2, lon_p - lon_p2)))
+             ELSE degrees(abs(atan2(lat - lat_p, lon - lon_p)
+                             - atan2(lat_p - lat_p2, lon_p - lon_p2)))
+           END, 6) AS path_angle,
+           round(value * 0.1
+                 + coalesce(round(CASE
+                     WHEN degrees(abs(atan2(lat - lat_p, lon - lon_p)
+                                    - atan2(lat_p - lat_p2, lon_p - lon_p2))) > 180.0
+                     THEN 360.0 - degrees(abs(atan2(lat - lat_p, lon - lon_p)
+                                             - atan2(lat_p - lat_p2, lon_p - lon_p2)))
+                     ELSE degrees(abs(atan2(lat - lat_p, lon - lon_p)
+                                     - atan2(lat_p - lat_p2, lon_p - lon_p2)))
+                   END, 6), 0.0) * 0.01, 6) AS path_score
+    FROM lagged
+    """,
+)
+def pipeline_predict_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    from streaming_data_pipeline_capstone_spark.functions.geo import haversine_km, path_angle_deg
+    from streaming_data_pipeline_capstone_spark.operators.windows import last_k_per_key
+
+    events = read_table(spark, sf_dir, "events")
+    src = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.lit(105.0) + (F.col("user_id") % 18).cast("double") + F.lit(0.25)).alias("lon"),
+        (F.lit(7.0) + (F.col("event_id") % 16).cast("double") + F.lit(0.5)).alias("lat"),
+    )
+    kept = last_k_per_key(src, key="user_id", order_col="ts", k=3, tiebreak="event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = (
+        kept.withColumn("lon_p", F.lag("lon").over(w))
+        .withColumn("lat_p", F.lag("lat").over(w))
+        .withColumn("lon_p2", F.lag("lon", 2).over(w))
+        .withColumn("lat_p2", F.lag("lat", 2).over(w))
+    )
+    angle = F.round(
+        path_angle_deg("lon_p2", "lat_p2", "lon_p", "lat_p", "lon", "lat"), 6
+    )
+
+    @pandas_udf("double")
+    def score(value, angle_col):
+        return (value * 0.1 + angle_col.fillna(0.0) * 0.01).round(6)
+
+    return lagged.select(
+        "user_id",
+        "event_id",
+        "rn",
+        F.round(haversine_km("lon_p", "lat_p", "lon", "lat"), 4).alias("step_km"),
+        angle.alias("path_angle"),
+        score(F.col("value"), angle).alias("path_score"),
+    )
+
+
 # -- exact percentiles (A-family breadth: ordered-set aggregates) ------------
 @register(
     "agg_percentiles",
