@@ -145,23 +145,25 @@ def brute_force_pairs(
     scale use lsh_similar_pairs.
     """
     tasks = [
-        (t, ba, bb)
+        (t, ba, bb, ba == bb)
         for t, (ba, bb) in enumerate(
             (a, b) for a in range(num_blocks) for b in range(a, num_blocks)
         )
     ]
-    tasks_df = corpus.sparkSession.createDataFrame(tasks, "task int, ba int, bb int")
+    tasks_df = corpus.sparkSession.createDataFrame(
+        tasks, "task int, ba int, bb int, is_self boolean"
+    )
     tagged = corpus.select(
         F.col(id_col).alias("vid"),
         _as_double(vec_col).alias("v"),
         (F.col(id_col) % num_blocks).cast("int").alias("blk"),
     )
     as_a = tagged.join(tasks_df, tagged.blk == tasks_df.ba).select(
-        "task", "vid", "v", F.lit(0).alias("side")
+        "task", "is_self", "vid", "v", F.lit(0).alias("side")
     )
     as_b = tagged.join(
         tasks_df, (tagged.blk == tasks_df.bb) & (tasks_df.ba != tasks_df.bb)
-    ).select("task", "vid", "v", F.lit(1).alias("side"))
+    ).select("task", "is_self", "vid", "v", F.lit(1).alias("side"))
 
     def score(pdf):
         import numpy as np
@@ -169,8 +171,13 @@ def brute_force_pairs(
 
         a = pdf[pdf["side"] == 0]
         b = pdf[pdf["side"] == 1]
-        if len(b) == 0:  # self-pair block: triangular within
+        empty = pd.DataFrame({"id1": [], "id2": [], "cosine_sim": []})
+        if len(a) == 0:
+            return empty
+        if bool(pdf["is_self"].iloc[0]):  # self task: triangular within
             return _pairs_within(a, threshold)
+        if len(b) == 0:  # cross task whose partner block is empty
+            return empty
         ids_a, ids_b = a["vid"].to_numpy(), b["vid"].to_numpy()
         ma = np.stack(a["v"].to_numpy()).astype(np.float64)
         mb = np.stack(b["v"].to_numpy()).astype(np.float64)

@@ -88,3 +88,18 @@ def test_multimodal_stubs_marked(spark):
         decode_image(df)
     with pytest.raises(NotImplementedError):
         sample_video_frames(df)
+
+
+def test_brute_force_pairs_with_empty_blocks(spark):
+    """ids all in one residue class → most blocks empty; cross tasks with
+    an empty partner must emit nothing (regression: they previously fell
+    into the self-pair path and duplicated within-block pairs)."""
+    from streaming_data_pipeline_capstone_spark.operators.similarity import brute_force_pairs
+
+    # vec_id ≡ 0 (mod 8) for every row
+    rows = [(i * 8, [float(i + 1), 0.0, 1.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_pairs(df, threshold=-1.0, num_blocks=8).collect()
+    pairs = sorted((r["id1"], r["id2"]) for r in out)
+    expect = sorted((a * 8, b * 8) for a in range(5) for b in range(a + 1, 5))
+    assert pairs == expect  # every pair exactly once
