@@ -42,7 +42,17 @@ def salted_join(
     value (explode of a literal range — a ``salt``× blow-up of the SMALL
     side only). The join key becomes (key, salt), so one hot key spreads
     over ``salt`` shuffle partitions.
+
+    Only join types whose output is driven by the BIG side are valid:
+    right/full outer would emit each unmatched small row once per salt
+    replica.
     """
+    if how in ("right", "rightouter", "right_outer", "full", "outer", "fullouter", "full_outer"):
+        raise ValueError(
+            f"salted_join cannot preserve {how!r} semantics: unmatched rows of "
+            "the replicated side would appear once per salt value. Salt the "
+            "other side or use AQE skew-join handling instead."
+        )
     big_salted = big.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     small_salted = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

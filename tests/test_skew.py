@@ -60,3 +60,13 @@ def test_skewed_collect_list_same_multiset(spark, sf_smoke):
     a = {r["user_id"]: sorted(r["event_id_list"]) for r in plain.collect()}
     b = {r["user_id"]: sorted(r["event_id_list"]) for r in salted.collect()}
     assert a == b
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest as _pytest
+
+    big = spark.createDataFrame([(1, "a")], "k int, v string")
+    small = spark.createDataFrame([(1, "x")], "k int, w string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "k", how=how)
