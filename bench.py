@@ -32,6 +32,8 @@ from streaming_data_pipeline_capstone_spark.session import get_spark
 # Headline suite: one representative per physical shape, heaviest inputs.
 BENCH_QUERIES = [
     "flagship_last3_rolling",   # window rank + rolling avg over events
+    "pipeline_preprocess_full", # reference entry point B end-to-end (JSON→geo→clean)
+    "pipeline_predict_full",    # reference entry point C end-to-end (rank→features→score)
     "agg_pricing_summary",      # TPC-H Q1-shaped hash agg over lineitem
     "join_regional_revenue",    # TPC-H Q5-shaped multi-join
     "join_topk_orders",         # join + per-group top-k window

@@ -87,6 +87,12 @@ def ais_wire_from_events(
         format_ts_z,
     )
 
+    # a real position_history topic has many partitions; the testdata
+    # parquet is one row group → spread the CPU-bound JSON codec chain
+    target = events.sparkSession.sparkContext.defaultParallelism
+    if events.rdd.getNumPartitions() < target:
+        events = events.repartition(target)
+
     lon = F.lit(lon_base) + (F.col("user_id") % lon_mod).cast("double") + F.lit(0.25)
     lat = F.lit(lat_base) + (F.col("event_id") % lat_mod).cast("double") + F.lit(0.5)
     mt = F.element_at(

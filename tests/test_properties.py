@@ -258,14 +258,15 @@ def test_asof_join_matches_naive(spark, left_in, right_in):
         "k int, rt_us long, payload int",
     ).select("k", F.timestamp_micros(F.col("rt_us")).alias("rt"), "payload")
 
-    out = asof_join(left, right, key="k", left_ts="lt", right_ts="rt")
-    got = {(r["k"], r["lt"].timestamp()): r["payload"] for r in out.collect()}
-
     rights = sorted((k, t, p) for k, t, p in (right_in or []))
-    for k, t in left_in:
-        best = None
-        for rk, rt, p in rights:
-            if rk == k and rt <= t:  # latest right with rt <= lt
-                best = p
-        assert got[(k, float(t))] == best, (k, t, got, rights)
-    assert len(got) == len(left_in)  # exactly one output row per left row
+    for strict in (False, True):
+        out = asof_join(left, right, key="k", left_ts="lt", right_ts="rt", strict=strict)
+        got = {(r["k"], r["lt"].timestamp()): r["payload"] for r in out.collect()}
+        for k, t in left_in:
+            best = None
+            for rk, rt, p in rights:
+                # latest right with rt <= lt (strict: rt < lt)
+                if rk == k and (rt < t if strict else rt <= t):
+                    best = p
+            assert got[(k, float(t))] == best, (strict, k, t, got, rights)
+        assert len(got) == len(left_in)  # exactly one output row per left row
