@@ -391,6 +391,35 @@ def agg_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- string scalar breadth (F-family: edit distance, pad, translate, split) --
+@register(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+           levenshtein(split_part(p_name, ' ', 1), split_part(p_name, ' ', 2)) AS lev_first_two,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           translate(p_brand, '#', '-') AS brand_dashed,
+           reverse(split_part(p_name, ' ', 1)) AS first_rev,
+           upper(p_type) AS type_upper,
+           length(p_name) AS name_len
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    first = F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
+    second = F.split_part(F.col("p_name"), F.lit(" "), F.lit(2))
+    return part.select(
+        "p_partkey",
+        F.levenshtein(first, second).alias("lev_first_two"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.reverse(first).alias("first_rev"),
+        F.upper("p_type").alias("type_upper"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
 # -- datetime scalar breadth (F-family: truncation, parts, arithmetic) -------
 @register(
     "scalar_datetime_parts",
