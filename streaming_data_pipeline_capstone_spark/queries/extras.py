@@ -391,6 +391,34 @@ def agg_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- salted join through the correctness gate --------------------------------
+# The oracle is the PLAIN join: salting must change only the physical
+# distribution, never the logical answer, and the driver's hash compare
+# proves it on real data.
+@register(
+    "join_salted_revenue",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_pipeline_capstone_spark.operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, on="l_orderkey", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
 # -- string scalar breadth (F-family: edit distance, pad, translate, split) --
 @register(
     "scalar_string_funcs",
