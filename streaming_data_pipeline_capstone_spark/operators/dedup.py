@@ -246,3 +246,58 @@ def simhash_bits(text_col: Column | str, nibbles: int = 16) -> Column:
         vote = F.aggregate(toks, F.lit(0), _vote(p))
         bits.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc1",
+    dst: str = "doc2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list: (node, component)
+    where component = min node id reachable from it.
+
+    The step real dedup pipelines need after pair generation — near-dup
+    pairs are transitive in intent ("all versions of this document"), so
+    keep-one-per-cluster requires components, not pairs.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(component
+    diameter) rounds (near-dup clusters are shallow — a handful). Each
+    round is one shuffle-join + one aggregation, all executor-side; the
+    driver only checks the converged flag. This is the standard
+    large-graph CC pattern on a shuffle system (cf. GraphFrames/Pregel).
+    """
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+
+    labels = (
+        edges.groupBy("a").agg(F.min("b").alias("nb"))
+        .select("a", F.least("a", "nb").alias("label"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("a", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "a", "left")
+            .select("a", F.least("label", "nlabel").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "a")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("a").alias("node"), F.col("label").alias("component"))

@@ -391,6 +391,59 @@ def agg_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- duplicate clusters: connected components over near-dup pairs ------------
+# After pair generation, real dedup keeps one doc per CLUSTER (transitive
+# closure), not per pair. Spark side: iterative min-label propagation
+# (operators/dedup.connected_components). Oracle: recursive CTE transitive
+# closure — min reachable id == converged min label. Pairs here come from
+# exact n-gram Jaccard ≥ 0.6 so both engines agree on the edge set.
+@register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE sets AS (
+      SELECT doc_id AS doc,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(t)-1),
+                         i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) END AS shingles
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents)
+    ),
+    sh AS (SELECT doc, unnest(shingles) AS s FROM sets),
+    cand AS (
+      SELECT DISTINCT a.doc AS d1, b.doc AS d2
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+    ),
+    verified AS (
+      SELECT d1, d2 FROM cand
+      JOIN sets s1 ON s1.doc = d1 JOIN sets s2 ON s2.doc = d2
+      WHERE round(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+              / (len(s1.shingles) + len(s2.shingles)
+                 - len(list_intersect(s1.shingles, s2.shingles))), 6) >= 0.6
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM verified
+      UNION SELECT d2, d1 FROM verified
+    ),
+    reach AS (
+      SELECT a AS d, a AS m FROM edges
+      UNION
+      SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.d
+    )
+    SELECT d AS node, MIN(m) AS component
+    FROM reach GROUP BY d
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_pipeline_capstone_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    return connected_components(pairs)
+
+
 # -- salted join through the correctness gate --------------------------------
 # The oracle is the PLAIN join: salting must change only the physical
 # distribution, never the logical answer, and the driver's hash compare

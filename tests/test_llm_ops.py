@@ -103,3 +103,15 @@ def test_brute_force_pairs_with_empty_blocks(spark):
     pairs = sorted((r["id1"], r["id2"]) for r in out)
     expect = sorted((a * 8, b * 8) for a in range(5) for b in range(a + 1, 5))
     assert pairs == expect  # every pair exactly once
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3, pair 10-11, chain 20-21-22 (via transitive edges only),
+    singleton edges excluded by construction."""
+    from streaming_data_pipeline_capstone_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22)], "doc1 long, doc2 long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
