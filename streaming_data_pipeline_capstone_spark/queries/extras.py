@@ -569,6 +569,35 @@ def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- X3e: IVF with TRAINED centroids (MLlib k-means; weak check) -------------
+# The production IVF: centroids learned by k-means, vectors assigned to
+# their nearest centroid's cell, a probe scans only its own cell. The
+# training loop is iterative and not SQL-expressible, so this entry has no
+# oracle — the driver records the weaker rows-only check. Exactness of the
+# probe math is covered by sim_topk_ivf / sim_topk_bruteforce.
+@register("sim_topk_kmeans_ivf")
+def sim_topk_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    vecs = emb.select("vec_id", as_double.alias("v")).withColumn(
+        "features", array_to_vector("v")
+    )
+    km = KMeans(k=8, seed=42, maxIter=10, featuresCol="features", predictionCol="cell")
+    model = km.fit(vecs)
+    cells = model.transform(vecs).select("vec_id", "v", "cell")
+
+    query = cells.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("cell").alias("qcell")
+    )
+    probed = cells.join(F.broadcast(query), cells["cell"] == query["qcell"]).select(
+        "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine_sim")
+    )
+    return probed.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)
+
+
 @register(
     "sim_topk_ivf",
     f"""
