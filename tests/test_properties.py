@@ -270,3 +270,42 @@ def test_asof_join_matches_naive(spark, left_in, right_in):
                     best = p
             assert got[(k, float(t))] == best, (strict, k, t, got, rights)
         assert len(got) == len(left_in)  # exactly one output row per left row
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 600), finite),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sliding_window_assignment_matches_naive(spark, rows_in):
+    """Every event lands in exactly the sliding windows that cover it
+    (2-min window, 1-min slide ⇒ 2 windows per event), and per-window
+    counts match a naive Python assignment."""
+    from streaming_data_pipeline_capstone_spark.operators.windows import sliding_time_agg
+
+    rows = [(int(k), int(t) * 1_000_000, float(v)) for k, t, v in rows_in]
+    df = spark.createDataFrame(rows, "k int, t_us long, v double").select(
+        "k", F.timestamp_micros(F.col("t_us")).alias("ts"), "v"
+    )
+    agg = sliding_time_agg(
+        df, ts_col="ts", key="k",
+        aggs=[F.count("*").alias("n")],
+        window_duration="2 minutes", slide_duration="1 minute",
+    )
+    got = {
+        (r["k"], int(r["window"]["start"].timestamp())): r["n"] for r in agg.collect()
+    }
+
+    expect: dict[tuple[int, int], int] = {}
+    for k, t_us, _ in rows:
+        sec = t_us // 1_000_000
+        # windows of length 120 sliding 60 covering sec: starts in
+        # (sec-120, sec] on the 60 grid
+        start = (sec // 60) * 60
+        for ws in (start, start - 60):
+            if ws <= sec < ws + 120:
+                expect[(k, ws)] = expect.get((k, ws), 0) + 1
+    assert got == expect
