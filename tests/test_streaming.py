@@ -291,3 +291,44 @@ def test_last_k_state_on_rocksdb_provider(spark, tmpdir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stateful_restart_carries_state(spark, tmpdir):
+    """applyInPandasWithState across a stop/restart: run 1 sees 2 events,
+    run 2 (same checkpoint) delivers 1 more — the final top-3 must include
+    run-1 events, proving keyed state was restored from the state store."""
+    rows1 = [(1, _t(0), 0.0), (1, _t(1), 1.0)]
+    schema = replay_to_files(_events_df(spark, rows1), tmpdir + "/replay", 1)
+
+    def run(out_dir):
+        stream = stream_from_replay(spark, tmpdir + "/replay", schema)
+        out = last_k_per_key_stream(
+            stream, key="user_id", ts_col="ts", value_cols=["value"], k=3
+        )
+
+        def sink(batch, epoch_id):
+            batch.write.mode("append").parquet(out_dir)
+
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", tmpdir + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(tmpdir + "/out1")
+    # second run: one new chunk with one newer event
+    _events_df(spark, [(1, _t(2), 2.0)]).coalesce(1).write.mode("overwrite").parquet(
+        tmpdir + "/replay/chunk=00001"
+    )
+    run(tmpdir + "/out2")
+
+    # run 2 processed ONLY the new chunk, so its update output can contain
+    # t0/t1 only if their state was restored from the checkpointed store
+    got = {
+        (r["ts"], r["value"]): r["rn"]
+        for r in spark.read.parquet(tmpdir + "/out2").collect()
+    }
+    assert got == {(_t(2), 2.0): 1, (_t(1), 1.0): 2, (_t(0), 0.0): 3}
