@@ -261,22 +261,29 @@ def connected_components(
     pairs are transitive in intent ("all versions of this document"), so
     keep-one-per-cluster requires components, not pairs.
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels; converges in O(component
-    diameter) rounds (near-dup clusters are shallow — a handful). Each
-    round is one shuffle-join + one aggregation, all executor-side; the
-    driver only checks the converged flag. This is the standard
-    large-graph CC pattern on a shuffle system (cf. GraphFrames/Pregel).
+    Hash-Min propagation + pointer jumping: each round every node takes
+    the min of (its label, its neighbors' labels) and then shortcuts to
+    its label's label. Propagation alone needs O(component diameter)
+    rounds — a 1M-node duplicate chain would need 1M — while the
+    shortcut step halves chain depth, giving ~O(log n) rounds on any
+    shape. Each round is two shuffle-joins + one aggregation, all
+    executor-side; the driver only checks the converged flag (the
+    standard large-graph CC recipe on a shuffle system, cf.
+    GraphFrames/Pregel and MapReduce CC literature).
     """
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().persist()
 
+    # localCheckpoint (not persist): iterative plans otherwise grow by one
+    # join-tree per round and re-analysis dominates after ~5 rounds. On a
+    # cluster with lineage-recovery requirements use reliable checkpoint
+    # (spark.sparkContext.setCheckpointDir + .checkpoint()) instead.
     labels = (
         edges.groupBy("a").agg(F.min("b").alias("nb"))
         .select("a", F.least("a", "nb").alias("label"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -284,10 +291,19 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
+        stepped = labels.join(neighbor_min, "a", "left").select(
+            "a", F.least("label", "nlabel").alias("label")
+        )
+        # pointer jump: label ← label(label). Labels are themselves nodes
+        # of the same component, so the lookup is a self-join on the label
+        # table; missing lookups (label is a component min) keep the label.
+        lookup = stepped.select(
+            F.col("a").alias("label"), F.col("label").alias("ll")
+        )
         new_labels = (
-            labels.join(neighbor_min, "a", "left")
-            .select("a", F.least("label", "nlabel").alias("label"))
-            .persist()
+            stepped.join(lookup, "label", "left")
+            .select("a", F.least("label", "ll").alias("label"))
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "a")
@@ -295,7 +311,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

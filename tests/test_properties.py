@@ -309,3 +309,60 @@ def test_sliding_window_assignment_matches_naive(spark, rows_in):
             if ws <= sec < ws + 120:
                 expect[(k, ws)] = expect.get((k, ws), 0) + 1
     assert got == expect
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_match_union_find(spark, raw_edges):
+    from streaming_data_pipeline_capstone_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        edges = [(0, 1)]
+    df = spark.createDataFrame(edges, "doc1 long, doc2 long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        comp_min.setdefault(find(n), n)
+    expect = {n: min(comp_min[find(n)], find(n)) for n in parent}
+    # normalize: component id = min node in component
+    roots: dict[int, int] = {}
+    for n in parent:
+        roots.setdefault(find(n), n)
+        roots[find(n)] = min(roots[find(n)], n)
+    expect = {n: roots[find(n)] for n in parent}
+    assert got == expect, (edges, got, expect)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 60-node path: min-propagation alone needs ~60 rounds; pointer
+    jumping must converge well inside max_iter=25."""
+    from streaming_data_pipeline_capstone_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(chain, "doc1 long, doc2 long")
+    got = {r["node"]: r["component"] for r in connected_components(df, max_iter=25).collect()}
+    assert got == {i: 0 for i in range(61)}
