@@ -283,8 +283,12 @@ def connected_components(
     labels = (
         edges.groupBy("a").agg(F.min("b").alias("nb"))
         .select("a", F.least("a", "nb").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # labels only ever decrease, so "no label changed" ⟺ "Σ labels
+    # unchanged" — a single aggregate per round instead of a join-based
+    # difference check.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("a", "b"), "b")
@@ -300,19 +304,14 @@ def connected_components(
         lookup = stepped.select(
             F.col("a").alias("label"), F.col("label").alias("ll")
         )
-        new_labels = (
+        labels = (
             stepped.join(lookup, "label", "left")
             .select("a", F.least("label", "ll").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "a")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels.select(F.col("a").alias("node"), F.col("label").alias("component"))
