@@ -1,0 +1,132 @@
+"""Incremental (streaming) near-duplicate detection.
+
+The batch MinHash-LSH pipeline (operators/dedup.py) answers "which pairs in
+this corpus are near-dups"; a training-data INGEST pipeline needs the
+incremental question: "is this NEW document a near-dup of anything seen
+before". This module runs that as a Structured Streaming job:
+
+per micro-batch (foreachBatch):
+  1. shingle + minhash + band the new documents (same operators as batch)
+  2. candidate pairs = new bands ⋈ persistent band index on (band_id, bh)
+     — only same-bucket rows meet, exactly the batch pipeline's property,
+     so matching cost is O(new docs × bucket occupancy), not O(corpus)
+  3. plus new-vs-new candidates within the batch
+  4. exact-Jaccard verify against the persistent shingle index
+  5. append verified pairs to the output, and the new docs' bands +
+     shingles to the index
+
+The index is two parquet tables (bands keyed by bucket hash, shingle sets
+keyed by doc). At 100 TB both are partitioned/bucketed by their join key
+so step 2 is a bucket-pruned join; here they are plain parquet dirs. State
+is storage-backed, not driver-resident — the driver only orchestrates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from streaming_data_pipeline_capstone_spark.operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_NUM_HASHES,
+    candidate_pairs_from_bands,
+    jaccard_verify,
+    lsh_bands,
+    minhash_signatures,
+    shingle_sets,
+)
+
+
+def _merge_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    index_dir: str,
+    pairs_dir: str,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+) -> None:
+    spark = batch.sparkSession
+    bands_path = os.path.join(index_dir, "bands")
+    sets_path = os.path.join(index_dir, "sets")
+
+    sets_new = shingle_sets(batch, id_col, text_col).persist()
+    bands_new = lsh_bands(minhash_signatures(sets_new, num_hashes), num_hashes, bands).persist()
+
+    try:
+        bands_old = spark.read.parquet(bands_path)
+        sets_old = spark.read.parquet(sets_path)
+        have_index = True
+    except Exception:  # first batch: no index yet
+        have_index = False
+
+    # new-vs-new pairs within this batch
+    cands = candidate_pairs_from_bands(bands_new)
+    all_sets = sets_new
+    if have_index:
+        # new-vs-old: join on the bucket key — the index side is
+        # partitioned by (band_id, bh) at scale, so this prunes to
+        # matching buckets only. doc1 = old, doc2 = new (id order fixed
+        # afterwards by jaccard_verify's symmetric join).
+        cross = (
+            bands_new.alias("n")
+            .join(
+                bands_old.alias("o"),
+                (F.col("n.band_id") == F.col("o.band_id"))
+                & (F.col("n.bh") == F.col("o.bh")),
+            )
+            .select(
+                F.least(F.col("n.doc"), F.col("o.doc")).alias("doc1"),
+                F.greatest(F.col("n.doc"), F.col("o.doc")).alias("doc2"),
+            )
+            .filter(F.col("doc1") != F.col("doc2"))
+            .distinct()
+        )
+        cands = cands.unionByName(cross).distinct()
+        all_sets = sets_new.unionByName(sets_old)
+
+    verified = jaccard_verify(cands, all_sets, threshold)
+    verified.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(pairs_dir)
+
+    bands_new.write.mode("append").parquet(bands_path)
+    sets_new.write.mode("append").parquet(sets_path)
+    sets_new.unpersist()
+    bands_new.unpersist()
+
+
+def streaming_minhash_dedup(
+    stream_docs: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the incremental dedup job over a stream of documents.
+
+    Emits verified (doc1, doc2, jaccard, epoch) rows to ``pairs_dir`` —
+    including pairs whose two sides arrived in different micro-batches —
+    and maintains the band/shingle index under ``index_dir``.
+    """
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        _merge_batch(
+            batch, epoch_id, index_dir, pairs_dir,
+            id_col, text_col, threshold, num_hashes, bands,
+        )
+
+    w = stream_docs.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -332,3 +332,41 @@ def test_stateful_restart_carries_state(spark, tmpdir):
         for r in spark.read.parquet(tmpdir + "/out2").collect()
     }
     assert got == {(_t(2), 2.0): 1, (_t(1), 1.0): 2, (_t(0), 0.0): 3}
+
+
+def test_streaming_dedup_matches_across_batches(spark, tmpdir):
+    """Incremental near-dedup: a batch-2 document must match its batch-1
+    near-duplicate via the persistent band index (cross-batch pair), and
+    same-batch pairs are found too."""
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        streaming_minhash_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        (100, base),
+        (101, base + " extra"),            # near-dup of 100, same batch
+        (150, "completely different words about maritime vessel tracking"),
+        (200, base + " tail"),             # near-dup of 100/101, NEXT batch
+        (250, "unrelated content entirely separate from everything else"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    schema = replay_to_files(df, tmpdir + "/replay", 2, order_col="doc_id")
+    stream = stream_from_replay(spark, tmpdir + "/replay", schema)
+
+    q = streaming_minhash_dedup(
+        stream,
+        index_dir=tmpdir + "/index",
+        pairs_dir=tmpdir + "/pairs",
+        checkpoint_dir=tmpdir + "/ckpt",
+        threshold=0.5,
+    )
+    q.awaitTermination(180)
+
+    pairs = {
+        (r["doc1"], r["doc2"])
+        for r in spark.read.parquet(tmpdir + "/pairs").collect()
+    }
+    assert (100, 101) in pairs            # within batch 1
+    assert (100, 200) in pairs or (101, 200) in pairs  # across batches
+    assert all(150 not in p and 250 not in p for p in pairs)
