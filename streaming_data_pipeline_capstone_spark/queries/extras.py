@@ -482,7 +482,9 @@ def join_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            translate(p_brand, '#', '-') AS brand_dashed,
            reverse(split_part(p_name, ' ', 1)) AS first_rev,
            upper(p_type) AS type_upper,
-           length(p_name) AS name_len
+           length(p_name) AS name_len,
+           rpad(p_brand, 12, '.') AS brand_padded,
+           trim(concat('  ', p_name, '  ')) AS name_trimmed
     FROM part
     """,
 )
@@ -498,6 +500,10 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse(first).alias("first_rev"),
         F.upper("p_type").alias("type_upper"),
         F.length("p_name").alias("name_len"),
+        # F10: the reference's fixed-width framing pair (ljust/strip,
+        # server.py:55 / client.py:22) as native rpad/trim
+        F.rpad("p_brand", 12, ".").alias("brand_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
     )
 
 

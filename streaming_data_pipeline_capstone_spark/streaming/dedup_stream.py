@@ -130,3 +130,27 @@ def streaming_minhash_dedup(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def compact_index(spark, index_dir: str, partitions_per_table: int = 32) -> None:
+    """Compact the growing band/shingle index.
+
+    Each micro-batch appends small files; periodically rewrite both tables
+    with a sane partition count so the per-batch bucket join doesn't
+    degrade into a many-small-files scan. At real scale this would also
+    `partitionBy(bh-prefix)` / bucket by the join key; run it from a
+    maintenance job, not the hot path.
+    """
+    for sub, key in (("bands", "bh"), ("sets", "doc")):
+        path = os.path.join(index_dir, sub)
+        df = spark.read.parquet(path)
+        tmp = path + "__compacting"
+        df.repartition(partitions_per_table, key).write.mode("overwrite").parquet(tmp)
+        compacted = spark.read.parquet(tmp)
+        compacted.write.mode("overwrite").parquet(path)
+        try:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        except Exception:
+            pass

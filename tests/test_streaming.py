@@ -370,3 +370,25 @@ def test_streaming_dedup_matches_across_batches(spark, tmpdir):
     assert (100, 101) in pairs            # within batch 1
     assert (100, 200) in pairs or (101, 200) in pairs  # across batches
     assert all(150 not in p and 250 not in p for p in pairs)
+
+
+def test_dedup_index_compaction_preserves_results(spark, tmpdir):
+    """Compacting the band/shingle index must not change future matches."""
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        _merge_batch,
+        compact_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = spark.createDataFrame([(1, base), (2, "unrelated text entirely")], "doc_id long, text string")
+    _merge_batch(b1, 0, tmpdir + "/idx", tmpdir + "/pairs", "doc_id", "text", 0.5, 12, 4)
+
+    compact_index(spark, tmpdir + "/idx", partitions_per_table=2)
+
+    b2 = spark.createDataFrame([(3, base + " omega")], "doc_id long, text string")
+    _merge_batch(b2, 1, tmpdir + "/idx", tmpdir + "/pairs", "doc_id", "text", 0.5, 12, 4)
+
+    pairs = {
+        (r["doc1"], r["doc2"]) for r in spark.read.parquet(tmpdir + "/pairs").collect()
+    }
+    assert (1, 3) in pairs  # match found through the COMPACTED index
