@@ -444,6 +444,38 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+# -- table profiling (data-quality summary, one row per column) --------------
+_PROFILE_COL = """
+    SELECT '{c}' AS "column",
+           count(*) AS n_rows,
+           count(*) - count({c}) AS n_null,
+           round(CAST(count(*) - count({c}) AS DOUBLE) / greatest(count(*), 1), 6) AS null_frac,
+           count(DISTINCT {c}) AS n_distinct_approx,
+           CAST(min({c}) AS VARCHAR) AS "min",
+           CAST(max({c}) AS VARCHAR) AS "max"
+    FROM orders
+"""
+
+
+@register(
+    "profile_orders",
+    " UNION ALL ".join(
+        _PROFILE_COL.format(c=c)
+        for c in [
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ]
+    ),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profile (exact distinct for the oracle; the
+    production path uses HLL via profile_table(exact=False))."""
+    from streaming_data_pipeline_capstone_spark.operators.profile import profile_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    return profile_table(orders, exact=True)
+
+
 # -- salted join through the correctness gate --------------------------------
 # The oracle is the PLAIN join: salting must change only the physical
 # distribution, never the logical answer, and the driver's hash compare
