@@ -392,3 +392,38 @@ def test_dedup_index_compaction_preserves_results(spark, tmpdir):
         (r["doc1"], r["doc2"]) for r in spark.read.parquet(tmpdir + "/pairs").collect()
     }
     assert (1, 3) in pairs  # match found through the COMPACTED index
+
+
+def test_streaming_similarity_cross_batch(spark, tmpdir):
+    """A batch-2 vector must be flagged against its batch-1 near-neighbor
+    through the persistent signature index."""
+    from streaming_data_pipeline_capstone_spark.streaming.similarity_stream import (
+        streaming_similarity_index,
+    )
+
+    dim = 8
+    base = [1.0, 0.5, -0.2, 0.8, 0.1, -0.4, 0.9, 0.3]
+    near = [x + 0.01 for x in base]
+    far = [-x for x in base]
+    rows = [(1, base), (2, far), (3, near), (4, [0.0] * 7 + [1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    schema = replay_to_files(df, tmpdir + "/replay", 2, order_col="vec_id")
+    stream = stream_from_replay(spark, tmpdir + "/replay", schema)
+
+    q = streaming_similarity_index(
+        stream,
+        index_dir=tmpdir + "/index",
+        pairs_dir=tmpdir + "/pairs",
+        checkpoint_dir=tmpdir + "/ckpt",
+        threshold=0.9,
+        num_planes=4,
+        dim=dim,
+    )
+    q.awaitTermination(180)
+
+    pairs = {
+        (r["id1"], r["id2"]): r["cosine_sim"]
+        for r in spark.read.parquet(tmpdir + "/pairs").collect()
+    }
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.99  # cross-batch neighbor
+    assert all(2 not in p for p in pairs)  # opposite vector excluded
