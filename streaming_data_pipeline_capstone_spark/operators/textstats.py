@@ -133,3 +133,41 @@ def quality_score(text: Column | str) -> Column:
     wl_ok = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
     punct_ok = F.lit(1.0) - F.least(punct_ratio(s) * 5.0, F.lit(1.0))
     return F.round(0.4 * len_ok + 0.3 * wl_ok + 0.3 * punct_ok, 6)
+
+
+def hash_bucket(id_col: Column | str, buckets: int = 10000) -> Column:
+    """Deterministic uniform bucket in [0, buckets) from md5 of the id.
+
+    The reproducible-sampling primitive for training-data pipelines:
+    membership depends only on the id, so splits are stable across runs,
+    engines, partitionings, and re-ingests — unlike rand()-based
+    sampling. md5's first 8 hex chars are uniform on [0, 2^32).
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return (h % buckets).cast("int")
+
+
+def hash_split(
+    df,
+    id_col: str,
+    weights: dict[str, float],
+    split_col: str = "split",
+    buckets: int = 10000,
+):
+    """Assign every row a deterministic split label by id-hash bucket.
+
+    ``weights`` maps label → fraction (must sum to ≤ 1; remainder gets the
+    last label). Example: {"train": 0.8, "val": 0.1, "test": 0.1}.
+    """
+    b = hash_bucket(id_col, buckets)
+    expr = None
+    acc = 0.0
+    labels = list(weights.items())
+    for name, w in labels[:-1]:
+        acc += w
+        cond = b < int(round(acc * buckets))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)

@@ -444,6 +444,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+# -- deterministic train/val/test split (reproducible sampling) --------------
+@register(
+    "split_train_val_test",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 10000 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM b GROUP BY 1
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 split by id hash: membership depends only on
+    the id, so it is stable across runs, engines, and re-ingests — the
+    DuckDB oracle recomputing it independently IS the stability proof."""
+    from streaming_data_pipeline_capstone_spark.operators.textstats import hash_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return labeled.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 # -- table profiling (data-quality summary, one row per column) --------------
 _PROFILE_COL = """
     SELECT '{c}' AS "column",
