@@ -444,6 +444,52 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+# -- tokenizer-style counting + rolling-hash fingerprint ---------------------
+# The mandate's "token counting (whitespace + a BPE-ish regex)" and
+# "document fingerprinting (rolling hash)" items. The BPE-ish pattern
+# splits letter runs / digit runs / single punctuation (the shape of
+# GPT-2-style pre-tokenization); the rolling hash is a Rabin-Karp
+# polynomial over character codes, mod-reduced each step so the exact
+# integer sequence is identical in Spark (wrapping longs) and DuckDB
+# (overflow-checked BIGINT). Documents are ASCII (ascii == unicode).
+_BPE_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+_RH_BASE, _RH_MOD = 131, 1_000_000_000_000_007
+
+
+@register(
+    "text_token_rolling",
+    f"""
+    WITH d AS (SELECT doc_id, text FROM documents)
+    SELECT doc_id,
+           len(string_split_regex(lower(trim(text)), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '{_BPE_PAT}')) AS bpe_tokens,
+           list_reduce(
+             list_transform(string_split_regex(text, ''), x -> CAST(unicode(x) AS BIGINT)),
+             (a, b) -> (a * {_RH_BASE} + b) % {_RH_MOD}
+           ) AS rolling_hash
+    FROM d
+    """,
+)
+def text_token_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_pipeline_capstone_spark.operators.textstats import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    chars = F.filter(F.split("text", ""), lambda x: x != "")
+    rolling = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * _RH_BASE + F.ascii(x)) % F.lit(_RH_MOD),
+    )
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PAT), 0)
+        ).alias("bpe_tokens"),
+        rolling.alias("rolling_hash"),
+    )
+
+
 # -- deterministic train/val/test split (reproducible sampling) --------------
 @register(
     "split_train_val_test",
