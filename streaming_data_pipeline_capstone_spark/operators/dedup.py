@@ -285,19 +285,21 @@ def connected_components(
         .select("a", F.least("a", "nb").alias("label"))
         .localCheckpoint(eager=False)
     )
-    # labels only ever decrease, so "no label changed" ⟺ "Σ labels
-    # unchanged" — a single aggregate per round instead of a join-based
-    # difference check.
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # Convergence = "no label changed this round", checked type-agnostically
+    # by carrying the round-start label through the step and counting rows
+    # where it differs afterwards (works for string ids too — a sum-based
+    # check would be NULL==NULL forever on non-numeric labels and exit
+    # early with wrong components). One extra filter+count over the
+    # already-checkpointed labels per round.
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("a", "b"), "b")
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
-        stepped = labels.join(neighbor_min, "a", "left").select(
-            "a", F.least("label", "nlabel").alias("label")
-        )
+        stepped = labels.select("a", F.col("label").alias("__prev")).join(
+            neighbor_min, "a", "left"
+        ).select("a", "__prev", F.least("__prev", "nlabel").alias("label"))
         # pointer jump: label ← label(label). Labels are themselves nodes
         # of the same component, so the lookup is a self-join on the label
         # table; missing lookups (label is a component min) keep the label.
@@ -306,12 +308,12 @@ def connected_components(
         )
         labels = (
             stepped.join(lookup, "label", "left")
-            .select("a", F.least("label", "ll").alias("label"))
+            .select("a", "__prev", F.least("label", "ll").alias("label"))
             .localCheckpoint(eager=False)
         )
-        new_sum = labels.agg(F.sum("label")).first()[0]
-        if new_sum == prev_sum:
+        n_changed = labels.filter(F.col("label") != F.col("__prev")).count()
+        labels = labels.drop("__prev")
+        if n_changed == 0:
             break
-        prev_sum = new_sum
     edges.unpersist()
     return labels.select(F.col("a").alias("node"), F.col("label").alias("component"))

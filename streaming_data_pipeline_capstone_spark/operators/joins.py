@@ -85,8 +85,17 @@ def asof_join(
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
     # strict: left probes sort BEFORE right rows at the same instant,
-    # so an equal-ts right row is not yet visible
-    side_order = [F.col("__ts"), F.col("__side").asc() if not strict else F.col("__side").desc()]
+    # so an equal-ts right row is not yet visible.
+    # __payload is the final tiebreak: when several right rows share the
+    # same (key, ts), struct ordering (field by field) makes the winning
+    # payload deterministic across runs/partitionings — the max payload
+    # sorts last and wins the forward-fill. Left rows all carry NULL
+    # payloads, so their relative order is immaterial.
+    side_order = [
+        F.col("__ts"),
+        F.col("__side").asc() if not strict else F.col("__side").desc(),
+        F.col("__payload").asc_nulls_first(),
+    ]
     w = Window.partitionBy(*keys).orderBy(*side_order).rowsBetween(Window.unboundedPreceding, 0)
     filled = r.unionByName(l).withColumn("__ff", F.last("__payload", ignorenulls=True).over(w))
     out = filled.filter(F.col("__side") == 1).select(

@@ -463,10 +463,15 @@ _RH_BASE, _RH_MOD = 131, 1_000_000_000_000_007
     SELECT doc_id,
            len(string_split_regex(lower(trim(text)), '\\s+')) AS ws_tokens,
            len(regexp_extract_all(lower(text), '{_BPE_PAT}')) AS bpe_tokens,
-           list_reduce(
-             list_transform(string_split_regex(text, ''), x -> CAST(unicode(x) AS BIGINT)),
-             (a, b) -> (a * {_RH_BASE} + b) % {_RH_MOD}
-           ) AS rolling_hash
+           -- guard: list_reduce with no initial value errors on an empty
+           -- list; Spark's F.aggregate has a 0 seed, so an empty document
+           -- must yield 0 here too
+           CASE WHEN text IS NULL THEN NULL
+                WHEN length(text) = 0 THEN 0
+                ELSE list_reduce(
+                  list_transform(string_split_regex(text, ''), x -> CAST(unicode(x) AS BIGINT)),
+                  (a, b) -> (a * {_RH_BASE} + b) % {_RH_MOD}
+                ) END AS rolling_hash
     FROM d
     """,
 )
@@ -661,16 +666,19 @@ def scalar_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic, so even the Python-worker path gets a full DuckDB value
 # check: documents are ASCII, so byte i == unicode(char i), and both engines
 # pass the value through float32 so the doubles compare bit-identically.
+# Output is EXPLODED to one (doc_id, idx, feature) row per vector element:
+# the driver's canonicalizer hashes scalar columns (an array<double> column
+# is unhashable in its pandas sort path — the round-1 red row).
 @register(
     "multimodal_extract_features",
     """
     SELECT doc_id,
            md5(text) AS checksum,
-           list_transform(range(1, 9), i ->
-             CASE WHEN i <= length(text)
-                  THEN CAST(CAST(unicode(substr(text, i, 1)) / 255.0 AS REAL) AS DOUBLE)
-                  ELSE 0.0 END) AS features
-    FROM documents
+           CAST(i.idx AS INT) AS idx,
+           CASE WHEN i.idx + 1 <= length(text)
+                THEN CAST(CAST(unicode(substr(text, CAST(i.idx + 1 AS INT), 1)) / 255.0 AS REAL) AS DOUBLE)
+                ELSE 0.0 END AS feature
+    FROM documents, (SELECT unnest(range(0, 8)) AS idx) i
     """,
 )
 def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,7 +691,12 @@ def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_binary(docs, "text")
     feats = extract_features(packed, id_cols=("doc_id",))
     return feats.select(
-        "doc_id", "checksum", F.transform("features", lambda x: x.cast("double")).alias("features")
+        "doc_id", "checksum", F.posexplode("features").alias("idx", "feature")
+    ).select(
+        "doc_id",
+        "checksum",
+        F.col("idx").cast("int").alias("idx"),
+        F.col("feature").cast("double").alias("feature"),
     )
 
 

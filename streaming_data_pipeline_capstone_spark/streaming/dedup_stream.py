@@ -40,6 +40,41 @@ from streaming_data_pipeline_capstone_spark.operators.dedup import (
 )
 
 
+def write_epoch_idempotent(df: DataFrame, path: str, epoch_id: int) -> None:
+    """Idempotent per-epoch write for foreachBatch sinks.
+
+    foreachBatch is at-least-once: a crash between the sink write and the
+    checkpoint commit replays the same epoch. A plain ``mode("append")``
+    would re-append the batch's rows, permanently duplicating index
+    entries and every downstream candidate/verified pair. Partitioning by
+    ``epoch`` with dynamic-partition overwrite makes the replay OVERWRITE
+    exactly its own partition (only partitions present in the written
+    data are touched), turning at-least-once delivery into effectively-
+    once storage — the standard exactly-once recipe for foreachBatch
+    parquet sinks.
+    """
+    (
+        df.withColumn("epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(path)
+    )
+
+
+def read_index(spark, path: str, exclude_epoch: int | None = None) -> DataFrame:
+    """Read an epoch-partitioned index table, hiding the epoch column.
+
+    ``exclude_epoch`` drops one epoch's partition (partition-pruned scan):
+    on a replayed micro-batch the index already holds the crashed
+    attempt's own partition, which must not count as "old" data.
+    """
+    df = spark.read.parquet(path)
+    if exclude_epoch is not None:
+        df = df.filter(F.col("epoch") != int(exclude_epoch))
+    return df.drop("epoch")
+
+
 def _merge_batch(
     batch: DataFrame,
     epoch_id: int,
@@ -59,8 +94,8 @@ def _merge_batch(
     bands_new = lsh_bands(minhash_signatures(sets_new, num_hashes), num_hashes, bands).persist()
 
     try:
-        bands_old = spark.read.parquet(bands_path)
-        sets_old = spark.read.parquet(sets_path)
+        bands_old = read_index(spark, bands_path, exclude_epoch=epoch_id)
+        sets_old = read_index(spark, sets_path, exclude_epoch=epoch_id)
         have_index = True
     except Exception:  # first batch: no index yet
         have_index = False
@@ -91,10 +126,9 @@ def _merge_batch(
         all_sets = sets_new.unionByName(sets_old)
 
     verified = jaccard_verify(cands, all_sets, threshold)
-    verified.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(pairs_dir)
-
-    bands_new.write.mode("append").parquet(bands_path)
-    sets_new.write.mode("append").parquet(sets_path)
+    write_epoch_idempotent(verified, pairs_dir, epoch_id)
+    write_epoch_idempotent(bands_new, bands_path, epoch_id)
+    write_epoch_idempotent(sets_new, sets_path, epoch_id)
     sets_new.unpersist()
     bands_new.unpersist()
 
@@ -135,19 +169,26 @@ def streaming_minhash_dedup(
 def compact_index(spark, index_dir: str, partitions_per_table: int = 32) -> None:
     """Compact the growing band/shingle index.
 
-    Each micro-batch appends small files; periodically rewrite both tables
-    with a sane partition count so the per-batch bucket join doesn't
-    degrade into a many-small-files scan. At real scale this would also
-    `partitionBy(bh-prefix)` / bucket by the join key; run it from a
-    maintenance job, not the hot path.
+    Each micro-batch writes one small epoch partition; periodically
+    rewrite both tables with a sane file count so the per-batch bucket
+    join doesn't degrade into a many-small-files scan. All historical
+    epochs collapse into the sentinel partition ``epoch=-1`` (which no
+    real micro-batch id can collide with), keeping the epoch-partitioned
+    layout intact for subsequent idempotent writes.
+
+    ONLY run this with the stream stopped and its checkpoint fully
+    committed (e.g. after an ``availableNow`` drain): compacting an epoch
+    that later replays would re-append those rows. At real scale this
+    would also `partitionBy(bh-prefix)` / bucket by the join key; run it
+    from a maintenance job, not the hot path.
     """
     for sub, key in (("bands", "bh"), ("sets", "doc")):
         path = os.path.join(index_dir, sub)
-        df = spark.read.parquet(path)
+        df = spark.read.parquet(path).drop("epoch")
         tmp = path + "__compacting"
         df.repartition(partitions_per_table, key).write.mode("overwrite").parquet(tmp)
-        compacted = spark.read.parquet(tmp)
-        compacted.write.mode("overwrite").parquet(path)
+        compacted = spark.read.parquet(tmp).withColumn("epoch", F.lit(-1))
+        compacted.write.mode("overwrite").partitionBy("epoch").parquet(path)
         try:
             import shutil
 

@@ -24,6 +24,10 @@ from streaming_data_pipeline_capstone_spark.operators.similarity import (
     cosine,
     hyperplane_signature,
 )
+from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+    read_index,
+    write_epoch_idempotent,
+)
 
 
 def _merge_batch(
@@ -45,7 +49,9 @@ def _merge_batch(
     ).persist()
 
     try:
-        index = spark.read.parquet(index_dir)
+        # exclude the current epoch: a replayed batch's own partial write
+        # must not count as "old" index data (see write_epoch_idempotent)
+        index = read_index(spark, index_dir, exclude_epoch=epoch_id)
         have_index = True
     except Exception:
         have_index = False
@@ -71,8 +77,8 @@ def _merge_batch(
         cands = cands.unionByName(cross)
 
     verified = cands.filter(F.col("cosine_sim") >= threshold).dropDuplicates(["id1", "id2"])
-    verified.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(pairs_dir)
-    tagged_new.write.mode("append").parquet(index_dir)
+    write_epoch_idempotent(verified, pairs_dir, epoch_id)
+    write_epoch_idempotent(tagged_new, index_dir, epoch_id)
     tagged_new.unpersist()
 
 

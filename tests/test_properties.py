@@ -366,3 +366,17 @@ def test_connected_components_long_chain_converges(spark):
     df = spark.createDataFrame(chain, "doc1 long, doc2 long")
     got = {r["node"]: r["component"] for r in connected_components(df, max_iter=25).collect()}
     assert got == {i: 0 for i in range(61)}
+
+
+def test_connected_components_string_ids(spark):
+    """String node ids: the old sum('label') convergence check was NULL on
+    non-numeric labels, so NULL == NULL exited after one round and chains
+    needing more rounds came back wrong. The count-changed check is
+    type-agnostic; a 12-node string chain must fully converge."""
+    from streaming_data_pipeline_capstone_spark.operators.dedup import connected_components
+
+    nodes = [f"doc-{i:03d}" for i in range(12)]
+    chain = list(zip(nodes, nodes[1:]))
+    df = spark.createDataFrame(chain, "doc1 string, doc2 string")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {n: "doc-000" for n in nodes}

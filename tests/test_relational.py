@@ -53,6 +53,27 @@ def test_asof_join_strict(spark):
     assert out.collect()[0].px is None  # equal ts excluded under strict
 
 
+def test_asof_join_tied_right_ts_deterministic(spark):
+    """Several right rows on the same (key, ts): the winner must be the
+    max payload struct (deterministic tiebreak), stable across repeated
+    runs and repartitionings."""
+    quotes = spark.createDataFrame(
+        [("A", _ts("2024-01-01T10:00:00"), px) for px in (3.0, 1.0, 2.0)],
+        "sym string, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", _ts("2024-01-01T10:01:00"))], "sym string, tts timestamp"
+    )
+    seen = set()
+    for n_part in (1, 3, 7):
+        out = asof_join(
+            trades.repartition(n_part), quotes.repartition(n_part),
+            key="sym", left_ts="tts", right_ts="qts",
+        )
+        seen.add(out.collect()[0].px)
+    assert seen == {3.0}
+
+
 def test_broadcast_join_in_plan(spark, sf_smoke):
     from streaming_data_pipeline_capstone_spark.queries.relational import (
         join_regional_revenue,

@@ -427,3 +427,61 @@ def test_streaming_similarity_cross_batch(spark, tmpdir):
     }
     assert (1, 3) in pairs and pairs[(1, 3)] > 0.99  # cross-batch neighbor
     assert all(2 not in p for p in pairs)  # opposite vector excluded
+
+
+def test_streaming_dedup_replay_idempotent(spark, tmpdir):
+    """foreachBatch is at-least-once: re-running the SAME epoch (crash
+    between sink write and checkpoint commit) must overwrite its own
+    epoch partition, never re-append — index and pairs row counts are
+    unchanged after the replay, and a genuinely new epoch still lands."""
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import _merge_batch
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base + " tail")], "doc_id long, text string"
+    )
+    args = (tmpdir + "/idx", tmpdir + "/pairs", "doc_id", "text", 0.5, 12, 4)
+    _merge_batch(b1, 0, *args)
+    first_pairs = sorted(
+        (r["doc1"], r["doc2"]) for r in spark.read.parquet(tmpdir + "/pairs").collect()
+    )
+    first_bands = spark.read.parquet(tmpdir + "/idx/bands").count()
+    first_sets = spark.read.parquet(tmpdir + "/idx/sets").count()
+
+    _merge_batch(b1, 0, *args)  # the replay
+    assert sorted(
+        (r["doc1"], r["doc2"]) for r in spark.read.parquet(tmpdir + "/pairs").collect()
+    ) == first_pairs
+    assert spark.read.parquet(tmpdir + "/idx/bands").count() == first_bands
+    assert spark.read.parquet(tmpdir + "/idx/sets").count() == first_sets
+
+    b2 = spark.createDataFrame([(3, base + " omega")], "doc_id long, text string")
+    _merge_batch(b2, 1, *args)  # a new epoch appends as before
+    pairs = {
+        (r["doc1"], r["doc2"]) for r in spark.read.parquet(tmpdir + "/pairs").collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs
+
+
+def test_streaming_similarity_replay_idempotent(spark, tmpdir):
+    """Same at-least-once contract for the vector index."""
+    from streaming_data_pipeline_capstone_spark.streaming.similarity_stream import _merge_batch
+
+    base = [1.0, 0.5, -0.2, 0.8, 0.1, -0.4, 0.9, 0.3]
+    near = [x + 0.01 for x in base]
+    b1 = spark.createDataFrame(
+        [(1, base), (2, near)], "vec_id long, embedding array<float>"
+    )
+    args = (tmpdir + "/idx", tmpdir + "/pairs", "vec_id", "embedding", 0.9, 4, 8)
+    _merge_batch(b1, 0, *args)
+    first_pairs = sorted(
+        (r["id1"], r["id2"]) for r in spark.read.parquet(tmpdir + "/pairs").collect()
+    )
+    first_index = spark.read.parquet(tmpdir + "/idx").count()
+
+    _merge_batch(b1, 0, *args)  # the replay
+    assert sorted(
+        (r["id1"], r["id2"]) for r in spark.read.parquet(tmpdir + "/pairs").collect()
+    ) == first_pairs
+    assert spark.read.parquet(tmpdir + "/idx").count() == first_index
