@@ -702,10 +702,18 @@ def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- X3e: IVF with TRAINED centroids (MLlib k-means; weak check) -------------
 # The production IVF: centroids learned by k-means, vectors assigned to
-# their nearest centroid's cell, a probe scans only its own cell. The
-# training loop is iterative and not SQL-expressible, so this entry has no
-# oracle — the driver records the weaker rows-only check. Exactness of the
-# probe math is covered by sim_topk_ivf / sim_topk_bruteforce.
+# their nearest centroid's cell, a probe scans the NPROBE cells whose
+# centroids are closest to the query (single-cell probing measured only
+# 0.4 recall@10 on the test embeddings — multi-probe is the standard
+# recall knob and still scans only nprobe/k of the corpus). The training
+# loop is iterative and not SQL-expressible, so this entry has no oracle —
+# the driver records the weaker rows-only check; the quality gate is
+# tests/test_llm_ops.py::test_kmeans_ivf_recall_vs_bruteforce (recall@10
+# >= 0.8 vs brute force). Probe math exactness is covered by
+# sim_topk_ivf / sim_topk_bruteforce.
+_KMEANS_K, _NPROBE = 8, 3
+
+
 @register("sim_topk_kmeans_ivf")
 def sim_topk_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
@@ -716,14 +724,30 @@ def sim_topk_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select("vec_id", as_double.alias("v")).withColumn(
         "features", array_to_vector("v")
     )
-    km = KMeans(k=8, seed=42, maxIter=10, featuresCol="features", predictionCol="cell")
+    km = KMeans(
+        k=_KMEANS_K, seed=42, maxIter=10, featuresCol="features", predictionCol="cell"
+    )
     model = km.fit(vecs)
     cells = model.transform(vecs).select("vec_id", "v", "cell")
 
-    query = cells.filter(F.col("vec_id") == 0).select(
-        F.col("v").alias("qv"), F.col("cell").alias("qcell")
+    # rank cells by centroid-to-query cosine, probe the top NPROBE.
+    # clusterCenters() is model metadata (k tiny rows), not a data collect;
+    # everything over the corpus stays a cell-pruned broadcast join.
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, cv array<double>",
     )
-    probed = cells.join(F.broadcast(query), cells["cell"] == query["qcell"]).select(
+    query = cells.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(query))
+        .select("cell", cosine(F.col("cv"), F.col("qv")).alias("csim"))
+        .orderBy(F.desc("csim"))
+        .limit(_NPROBE)
+        .select("cell")
+    )
+    probed = cells.join(F.broadcast(probe_cells), "cell").crossJoin(
+        F.broadcast(query)
+    ).select(
         "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine_sim")
     )
     return probed.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)

@@ -381,14 +381,37 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# approximate distinct: algorithm-specific (HLL++ vs DuckDB's HLL) → no
-# value oracle possible; driver records the weaker rows-only check.
-@register("agg_approx_distinct")
+# approximate distinct: the raw sketch estimate is algorithm-specific
+# (Spark HLL++ vs DuckDB HLL), so the estimate itself can't be value-
+# compared — but the CONTRACT can: each engine checks its own estimate
+# against its own exact count and emits a within-5% boolean, which is
+# hashable and must agree. exact_parts anchors the value compare.
+@register(
+    "agg_approx_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+               - COUNT(DISTINCT l_partkey))
+             / CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) <= 0.05
+             AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts").cast("double") - F.col("exact_parts"))
+            / F.col("exact_parts").cast("double")
+            <= 0.05
+        ).alias("approx_within_5pct"),
     )
 
 

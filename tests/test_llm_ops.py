@@ -115,3 +115,19 @@ def test_connected_components_known_graph(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_kmeans_ivf_recall_vs_bruteforce(spark, sf_oracle):
+    """The trained-centroid IVF has no SQL oracle (iterative k-means), so
+    its quality gate lives here: recall@10 against exhaustive brute-force
+    cosine top-10 must be >= 0.8 on real data. Probing a single cell
+    trades a bounded amount of recall for a corpus-fraction scan."""
+    from streaming_data_pipeline_capstone_spark.queries.extras import sim_topk_kmeans_ivf
+    from streaming_data_pipeline_capstone_spark.queries.llm_ops import sim_topk_bruteforce
+
+    ivf_top10 = {r["vec_id"] for r in sim_topk_kmeans_ivf(spark, sf_oracle).collect()}
+    brute_top10 = {
+        r["vec_id"] for r in sim_topk_bruteforce(spark, sf_oracle).limit(10).collect()
+    }
+    recall = len(ivf_top10 & brute_top10) / len(brute_top10)
+    assert recall >= 0.8, (recall, ivf_top10, brute_top10)
