@@ -11,6 +11,14 @@ count over the full result — no driver-side collect of wide data). The
 headline ``value`` is the total wall time of the suite; per-query seconds
 are reported under ``queries``.
 
+Each query runs TWICE: the first (cold) pass pays Catalyst analysis,
+codegen compilation, and file-listing caches; the second (warm) pass is
+re-plan + re-execution with those JVM caches hot. Cold numbers stay the
+headline (``queries`` / ``value``, comparable across rounds); warm numbers
+are reported under ``queries_warm`` / ``warm_total`` so regressions in
+actual query work aren't masked by one-time JVM startup cost — at sf0.1
+several queries are >80% cold-start overhead.
+
 The suite covers every distinct physical shape in the engine: windowed
 dedup/rank state (flagship), hash aggregation, broadcast + shuffle joins,
 analytic windows, sliding event-time windows, MinHash dedup, and brute-force
@@ -55,7 +63,9 @@ def main() -> None:
     spark.range(1).count()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     total = 0.0
+    warm_total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
         t0 = time.perf_counter()
@@ -63,7 +73,12 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        t1 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        dw = time.perf_counter() - t1
+        warm[name] = round(dw, 3)
+        warm_total += dw
+        print(f"# {name}: cold={dt:.3f}s warm={dw:.3f}s rows={n}", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
@@ -77,6 +92,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total": round(warm_total, 3),
                 "sf": sf_val,
             }
         )
