@@ -179,13 +179,32 @@ def minhash_lsh_dedup(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
+    pre_dedup: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: verified (doc1, doc2, jaccard).
+
+    ``pre_dedup=True`` collapses byte-identical documents to their
+    fingerprint representative (min id) BEFORE shingling — the standard
+    100 TB pipeline order and the hot-bucket mitigation documented at
+    ``_bucket_pair_instances``: k identical documents otherwise land in
+    the same LSH bucket and force one task to emit k(k-1)/2 pairs. With
+    the collapse, exact-duplicate groups contribute ONE representative
+    each (recover the groups with ``exact_dedup_groups``; their pairwise
+    jaccard is 1.0 by construction and deliberately not enumerated —
+    enumerating it IS the quadratic output being avoided). Costs one
+    extra exchange on the 16-byte fingerprint, never on the text.
 
     The shingle index feeds three consumers (signatures, both sides of the
     Jaccard verify) — it is persisted rather than recomputed: the dedup
     pipeline's deliberate materialization point, exactly where a 100 TB
     run would checkpoint the index to parquet."""
+    if pre_dedup:
+        reps = (
+            df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias(id_col))
+        )
+        df = df.join(reps, id_col, "left_semi")
     sets_df = shingle_sets(df, id_col, text_col, shingle_n).persist()
     sigs = minhash_signatures(sets_df, num_hashes)
     cands = candidate_pairs_from_bands(lsh_bands(sigs, num_hashes, bands))

@@ -131,3 +131,40 @@ def test_kmeans_ivf_recall_vs_bruteforce(spark, sf_oracle):
     }
     recall = len(ivf_top10 & brute_top10) / len(brute_top10)
     assert recall >= 0.8, (recall, ivf_top10, brute_top10)
+
+
+def test_minhash_pre_dedup_kills_hot_bucket(spark):
+    """The documented hot-bucket hazard (operators/dedup.py
+    _bucket_pair_instances): N byte-identical docs share every LSH bucket,
+    so candidate generation emits N(N-1)/2 pairs from one task. With
+    pre_dedup=True the identical docs collapse to one representative
+    BEFORE shingling, so the pathological corpus produces only the pairs
+    among distinct contents — constant, not quadratic."""
+    n_clones = 300
+    rows = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(n_clones)]
+    rows += [
+        (1000, "the quick brown fox jumps over the lazy dog today"),  # near-dup of clones
+        (2000, "completely unrelated text about distributed shuffle planning"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    collapsed = minhash_lsh_dedup(df, "doc_id", "text", 0.5, pre_dedup=True)
+    pairs = collapsed.collect()
+    # one representative (min id 0) for the clone group; its near-dup pair
+    # survives, and nothing quadratic: pairs over distinct contents only.
+    assert len(pairs) == 1, pairs
+    assert (pairs[0]["doc1"], pairs[0]["doc2"]) == (0, 1000)
+
+    # control: without the collapse the same corpus really is quadratic
+    # in candidate pairs — the hazard is real, not hypothetical.
+    from streaming_data_pipeline_capstone_spark.operators.dedup import (
+        candidate_pairs_from_bands,
+        lsh_bands,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    raw_cands = candidate_pairs_from_bands(
+        lsh_bands(minhash_signatures(shingle_sets(df, "doc_id", "text")))
+    ).count()
+    assert raw_cands >= n_clones * (n_clones - 1) // 2
