@@ -1,0 +1,183 @@
+"""Physical-plan regression gate over the FULL query registry.
+
+`tools/plan_audit.py` summarizes what matters at 100 TB — join strategy,
+exchange count, scan width, pushed filters. This test turns that audit
+into hard assertions so a plan regression (a new shuffle, a lost
+broadcast, an unpushed filter, a scan that stops pruning) fails CI
+instead of silently shipping:
+
+- BroadcastNestedLoopJoin is forbidden except where it IS the right
+  plan: a broadcast side that is O(1) rows by construction.
+- Per-query shuffle budget: the audited exchange count of the current
+  plan. A query may improve (fewer shuffles) without touching this
+  file; adding a shuffle requires a deliberate budget bump here.
+- Filter pushdown: every query whose plan pushes a predicate into a
+  parquet scan today must keep pushing one.
+- Column pruning: no scan reads more than 8 columns (the widest
+  legitimate scan today is 6 of lineitem's 16 / orders' 9).
+
+Budgets were measured at sf0.001 with the test session (local[4],
+shuffle_partitions=4, AQE on) — the same setup this test runs under, so
+the counts are deterministic.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from streaming_data_pipeline_capstone_spark.registry import all_queries
+from tools.plan_audit import audit
+
+SF = "/root/testdata/sf0.001"
+
+# Queries where BroadcastNestedLoopJoin is the intended physical plan:
+# the broadcast side is constant-size (a literal band table / a single
+# query vector), so the "nested loop" is one in-memory row per probe.
+BNLJ_OK = {"join_range_price_bands", "sim_topk_bruteforce", "sim_topk_kmeans_ivf"}
+
+# Audited exchange count per query (broadcasts excluded). UPPER bounds:
+# going under is an improvement, going over is a regression that needs a
+# reviewed bump here.
+SHUFFLE_BUDGET = {
+    "agg_approx_distinct": 2,
+    "agg_count_distinct": 2,
+    "agg_cube_flags": 1,
+    "agg_grouping_sets": 1,
+    "agg_percentiles": 1,
+    "agg_pivot_status": 2,
+    "agg_pricing_summary": 1,
+    "agg_rollup_status_priority": 1,
+    "agg_stats_lineitem": 1,
+    "dedup_clusters": 0,  # iterative; plan truncated by localCheckpoint
+    "dedup_embedding_cosine": 1,
+    "dedup_exact": 1,
+    "dedup_minhash_lsh": 3,  # signature agg + band buckets + verify: intrinsic
+    "dedup_ngram_jaccard": 2,
+    "dedup_simhash": 0,
+    "feature_path_angle": 1,
+    "flagship_last3_rolling": 1,  # ONE exchange feeds rank + rolling avg
+    "join_anti_never_ordered": 0,
+    "join_asof_last_click": 1,
+    "join_full_outer_nations": 2,  # full outer can't broadcast
+    "join_left_outer_counts": 1,
+    "join_range_price_bands": 1,
+    "join_regional_revenue": 3,
+    "join_salted_revenue": 1,
+    "join_semi_high_value": 0,
+    "join_topk_orders": 1,
+    "ml_score_stub": 0,
+    "multimodal_binary_meta": 0,
+    "multimodal_extract_features": 0,
+    "pipeline_predict_full": 1,
+    "pipeline_preprocess_full": 0,
+    "profile_orders": 2,
+    "scalar_affine_pixel": 0,
+    "scalar_clean_filter": 0,
+    "scalar_datetime_parts": 0,
+    "scalar_ecef": 0,
+    "scalar_haversine_step": 1,
+    "scalar_json_extract": 0,
+    "scalar_rot_decode": 0,
+    "scalar_spike_ffill": 1,
+    "scalar_string_funcs": 0,
+    "scalar_ts_z_roundtrip": 0,
+    "scalar_wkt_extract": 0,
+    "setop_except_customers": 1,
+    "setop_intersect_nations": 1,
+    "setop_union_nations": 1,
+    "sim_lsh_pairs": 1,
+    "sim_topk_bruteforce": 0,
+    "sim_topk_ivf": 0,
+    "sim_topk_kmeans_ivf": 0,
+    "sim_topk_pandas": 0,
+    "sort_top20_orders": 0,  # TakeOrderedAndProject, no range exchange
+    "split_train_val_test": 1,
+    "stream_gap_fill": 1,
+    "stream_session_windows": 1,
+    "stream_sliding_avg": 1,
+    "stream_sliding_per_key": 1,
+    "text_fingerprint": 0,
+    "text_lang_id": 0,
+    "text_stats": 0,
+    "text_token_rolling": 0,
+    "window_lead_lag_orders": 1,
+    "window_rank_parts": 1,
+    "window_running_sum": 1,
+}
+
+# Queries whose current plan pushes ≥1 predicate into a parquet scan —
+# these must never lose pushdown.
+MUST_PUSH_FILTER = {
+    "agg_pricing_summary",
+    "dedup_embedding_cosine",
+    "join_anti_never_ordered",
+    "join_asof_last_click",
+    "join_left_outer_counts",
+    "join_range_price_bands",
+    "join_regional_revenue",
+    "join_salted_revenue",
+    "join_semi_high_value",
+    "join_topk_orders",
+    "pipeline_preprocess_full",
+    "scalar_clean_filter",
+    "setop_except_customers",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sim_topk_kmeans_ivf",
+    "stream_session_windows",
+    "stream_sliding_avg",
+    "stream_sliding_per_key",
+    "window_lead_lag_orders",
+    "window_running_sum",
+}
+
+MAX_SCAN_COLS = 8
+
+
+@pytest.fixture(scope="module")
+def plan_stats(spark):
+    qs = all_queries()
+    return {name: audit(fn(spark, SF)) for name, fn in qs.items()}
+
+
+def test_budget_covers_whole_registry(plan_stats):
+    assert set(plan_stats) == set(SHUFFLE_BUDGET), (
+        "registry and budget table diverged; re-run "
+        "`python tools/plan_audit.py --all` and update SHUFFLE_BUDGET"
+    )
+
+
+def test_no_unexpected_nested_loop_joins(plan_stats):
+    offenders = {
+        name: a["joins"]
+        for name, a in plan_stats.items()
+        if "BroadcastNestedLoopJoin" in a["joins"] and name not in BNLJ_OK
+    }
+    assert not offenders, f"O(n*m) join crept in: {offenders}"
+
+
+def test_shuffle_counts_within_budget(plan_stats):
+    over = {
+        name: (a["shuffles"], SHUFFLE_BUDGET[name])
+        for name, a in plan_stats.items()
+        if a["shuffles"] > SHUFFLE_BUDGET[name]
+    }
+    assert not over, f"shuffle regressions (got, budget): {over}"
+
+
+def test_filter_pushdown_preserved(plan_stats):
+    lost = {
+        name
+        for name in MUST_PUSH_FILTER
+        if not any(pushed for _, pushed in plan_stats[name]["scans"])
+    }
+    assert not lost, f"queries that stopped pushing filters into scans: {lost}"
+
+
+def test_scan_column_pruning(plan_stats):
+    wide = {
+        name: [n for n, _ in a["scans"] if n > MAX_SCAN_COLS]
+        for name, a in plan_stats.items()
+        if any(n > MAX_SCAN_COLS for n, _ in a["scans"])
+    }
+    assert not wide, f"scans reading too many columns (pruning lost): {wide}"
