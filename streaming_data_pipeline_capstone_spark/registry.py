@@ -41,6 +41,7 @@ def _load_all() -> None:
         extras,
         flagship,
         llm_ops,
+        quality,
         relational,
         scalars,
         streaming_like,
