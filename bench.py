@@ -7,17 +7,24 @@ JSON line::
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is timed end-to-end (plan build + execution + result drain via a
-count over the full result — no driver-side collect of wide data). The
-headline ``value`` is the total wall time of the suite; per-query seconds
-are reported under ``queries``.
+count over the full result — no driver-side collect of wide data).
 
-Each query runs TWICE: the first (cold) pass pays Catalyst analysis,
-codegen compilation, and file-listing caches; the second (warm) pass is
-re-plan + re-execution with those JVM caches hot. Cold numbers stay the
-headline (``queries`` / ``value``, comparable across rounds); warm numbers
-are reported under ``queries_warm`` / ``warm_total`` so regressions in
-actual query work aren't masked by one-time JVM startup cost — at sf0.1
-several queries are >80% cold-start overhead.
+Each query runs THREE times: the first (cold) pass pays Catalyst analysis,
+codegen compilation, and file-listing caches; the two warm passes re-plan +
+re-execute with those JVM caches hot, and the reported warm number is the
+MIN of the two. The headline ``value`` is the WARM suite total (promoted
+round 3): driver cold totals swung ±25% on sandbox load with zero plan
+change in rounds 1→2, so warm — which isolates actual query work from
+one-time JVM startup and load spikes — is the number whose round-over-round
+delta reflects plans. Cold numbers remain under ``queries_cold`` /
+``cold_total`` for continuity with BENCH_r01/r02 (whose ``value`` was the
+cold total). ``spark.catalog.clearCache()`` runs between queries so a query
+that persists intermediates internally can't leak cache into the next
+query's timing.
+
+The line also carries ``streaming`` — tools/bench_streaming.py's ingest
+metrics (the one quantitative BASELINE.md target, ≥2,800 events/s) — so the
+per-round artifact machine-checks it.
 
 The suite covers every distinct physical shape in the engine: windowed
 dedup/rank state (flagship), hash aggregation, broadcast + shuffle joins,
@@ -62,23 +69,36 @@ def main() -> None:
     # isn't dominated by session startup.
     spark.range(1).count()
 
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     warm: dict[str, float] = {}
-    total = 0.0
+    cold_total = 0.0
     warm_total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
         dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        t1 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        dw = time.perf_counter() - t1
+        cold[name] = round(dt, 3)
+        cold_total += dt
+        warm_attempts = []
+        for _ in range(2):
+            t1 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            warm_attempts.append(time.perf_counter() - t1)
+        dw = min(warm_attempts)
         warm[name] = round(dw, 3)
         warm_total += dw
+        # Queries that persist() intermediates internally (e.g. minhash's
+        # shingle index) must not leak cache into the next query's timing.
+        spark.catalog.clearCache()
         print(f"# {name}: cold={dt:.3f}s warm={dw:.3f}s rows={n}", file=sys.stderr)
+
+    try:
+        from tools.bench_streaming import run_streaming_bench
+
+        streaming = run_streaming_bench(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover - best-effort metric
+        streaming = {"error": f"{type(exc).__name__}: {exc}"}
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
@@ -88,12 +108,13 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "bench_suite_total",
-                "value": round(total, 3),
+                "metric": "bench_suite_warm_total",
+                "value": round(warm_total, 3),
                 "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "warm_total": round(warm_total, 3),
+                "queries": warm,
+                "queries_cold": cold,
+                "cold_total": round(cold_total, 3),
+                "streaming": streaming,
                 "sf": sf_val,
             }
         )

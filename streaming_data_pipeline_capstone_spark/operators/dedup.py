@@ -183,8 +183,11 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: verified (doc1, doc2, jaccard).
 
-    ``pre_dedup=True`` collapses byte-identical documents to their
-    fingerprint representative (min id) BEFORE shingling — the standard
+    ``pre_dedup=True`` collapses normalization-identical documents —
+    same ``fingerprint()``, i.e. equal after lowercasing and whitespace
+    normalization, a superset of byte-identical that is consistent with
+    the tokenizer-based shingles (such docs have Jaccard 1.0 anyway) —
+    to their fingerprint representative (min id) BEFORE shingling: the standard
     100 TB pipeline order and the hot-bucket mitigation documented at
     ``_bucket_pair_instances``: k identical documents otherwise land in
     the same LSH bucket and force one task to emit k(k-1)/2 pairs. With

@@ -66,7 +66,10 @@ _MIN_STOPWORD_FRAC = 0.02
     ),
     s AS (
       SELECT doc_id,
-             SUM(c) FILTER (WHERE kind = 'u') AS n_tokens,
+             -- CAST: DuckDB promotes SUM(BIGINT) to HUGEINT, which pandas
+             -- renders as float64 while Spark emits int64 — the driver's
+             -- dtype-sensitive hash would see 123.0 vs 123.
+             CAST(SUM(c) FILTER (WHERE kind = 'u') AS BIGINT) AS n_tokens,
              COUNT(*) FILTER (WHERE kind = 'u') AS n_distinct_tokens,
              MAX(c) FILTER (WHERE kind = 'u') AS top_c,
              COALESCE(SUM(c) FILTER (WHERE kind = 'u' AND c >= 2), 0) AS rep_c,

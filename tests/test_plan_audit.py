@@ -51,9 +51,11 @@ SHUFFLE_BUDGET = {
     "dedup_clusters": 0,  # iterative; plan truncated by localCheckpoint
     "dedup_embedding_cosine": 1,
     "dedup_exact": 1,
+    "dedup_keep_list": 2,  # pairs→components are checkpoint-truncated; verdict join + agg remain
     "dedup_minhash_lsh": 3,  # signature agg + band buckets + verify: intrinsic
     "dedup_ngram_jaccard": 2,
     "dedup_simhash": 0,
+    "emb_quantize_int8": 0,
     "feature_path_angle": 1,
     "flagship_last3_rolling": 1,  # ONE exchange feeds rank + rolling avg
     "join_anti_never_ordered": 0,
@@ -71,6 +73,7 @@ SHUFFLE_BUDGET = {
     "pipeline_predict_full": 1,
     "pipeline_preprocess_full": 0,
     "profile_orders": 2,
+    "rollup_events_multires": 2,  # 1-min grain agg + 5-min cascade: two keyed exchanges
     "scalar_affine_pixel": 0,
     "scalar_clean_filter": 0,
     "scalar_datetime_parts": 0,
@@ -97,6 +100,7 @@ SHUFFLE_BUDGET = {
     "stream_sliding_avg": 1,
     "stream_sliding_per_key": 1,
     "text_fingerprint": 0,
+    "text_quality_gopher": 2,  # token/bigram counts + per-doc rollup, both keyed on doc_id
     "text_lang_id": 0,
     "text_stats": 0,
     "text_token_rolling": 0,
@@ -119,6 +123,7 @@ MUST_PUSH_FILTER = {
     "join_semi_high_value",
     "join_topk_orders",
     "pipeline_preprocess_full",
+    "rollup_events_multires",
     "scalar_clean_filter",
     "setop_except_customers",
     "sim_topk_bruteforce",

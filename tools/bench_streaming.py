@@ -43,10 +43,14 @@ from streaming_data_pipeline_capstone_spark.sources.replay import (
 NUM_CHUNKS = 10
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="bench-streaming")
-    spark.range(1).count()
+def run_streaming_bench(spark, sf_dir: str) -> dict:
+    """Run both streaming jobs and return the metrics dict (no printing).
+
+    Callable from bench.py so the driver's single BENCH JSON line carries
+    the streaming numbers too. Restores ``spark.sql.shuffle.partitions``
+    on exit so a shared session isn't left reconfigured.
+    """
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # Streaming state-store overhead is per (partition × micro-batch): each
     # stateful partition snapshots to the checkpoint every trigger. At this
     # key cardinality (~1k mmsi) 8 state partitions beat 32; a real cluster
@@ -97,24 +101,28 @@ def main() -> None:
         )
         el_c, nb_c = run(state, "update", os.path.join(ckpt_dir, "c"))
 
-        print(
-            json.dumps(
-                {
-                    "metric": "streaming_ingest_rate",
-                    "value": round(n_events / el_b, 1),
-                    "unit": "events_per_sec",
-                    "events": n_events,
-                    "elapsed_sec": round(el_b, 3),
-                    "micro_batches": nb_b,
-                    "stateful_last3_rate": round(n_events / el_c, 1),
-                    "stateful_elapsed_sec": round(el_c, 3),
-                    "baseline_target": 2800,
-                    "sf_dir": sf_dir,
-                }
-            )
-        )
+        return {
+            "metric": "streaming_ingest_rate",
+            "value": round(n_events / el_b, 1),
+            "unit": "events_per_sec",
+            "events": n_events,
+            "elapsed_sec": round(el_b, 3),
+            "micro_batches": nb_b,
+            "stateful_last3_rate": round(n_events / el_c, 1),
+            "stateful_elapsed_sec": round(el_c, 3),
+            "baseline_target": 2800,
+            "sf_dir": sf_dir,
+        }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench-streaming")
+    spark.range(1).count()
+    print(json.dumps(run_streaming_bench(spark, sf_dir)))
     spark.stop()
 
 
