@@ -190,3 +190,69 @@ def brute_force_pairs(
         return pd.DataFrame({"id1": id1, "id2": id2, "cosine_sim": s[ii, jj]})
 
     return as_a.unionByName(as_b).groupBy("task").applyInPandas(score, _PAIR_SCHEMA)
+
+
+# -- deterministic Lloyd's k-means (oracle-expressible IVF training) ---------
+# Replaces MLlib KMeans for the trained-IVF query so the FULL pipeline —
+# training included — can be reproduced by a SQL oracle (reference parity:
+# streaming-data-pipeline-capstone README.md:94-98 promises a "trained model" stage; MLlib's
+# kmeans|| init is seeded-random and not portable across engines). Design
+# choices are all about cross-engine determinism:
+#
+# - init = the k vectors with the LOWEST ids (row_number over vec_id in
+#   SQL) — no RNG anywhere;
+# - assignment = argmin of squared L2 distance, ties broken by lowest
+#   cell id (row_number ... ORDER BY dist, cell in SQL; array_position of
+#   array_min in Spark — both take the FIRST minimum);
+# - update = per-dimension mean ROUNDED TO 6 DECIMALS. The rounding is
+#   the drift-killer: Spark and DuckDB sum partitions in different orders
+#   (~1e-15 relative difference), but both land within ~1e-12 of the true
+#   mean, so rounding to 1e-6 yields bit-identical centroids each
+#   iteration and the drift can never compound;
+# - empty cells keep their previous centroid (COALESCE in SQL).
+#
+# Distributed shape: each iteration is ONE map-side-combined aggregation
+# over the corpus keyed on (cell, dim) — the canonical scalable Lloyd's —
+# and only k×dim tiny rows (model metadata, not data) reach the driver.
+
+
+def _sq_dist_to(vec_col: Column, centroid: list[float]) -> Column:
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, lit, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_cells(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id (0-based) with first-minimum tie-break."""
+    dists = F.array(*[_sq_dist_to(vec_col, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def lloyd_kmeans_centroids(
+    vecs: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> list[list[float]]:
+    """Train k-means; returns the final centroids (k×dim model metadata)."""
+    init_rows = vecs.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[0]] for r in init_rows]
+    for _ in range(iters):
+        assigned = vecs.select(
+            assign_cells(F.col(vec_col), centroids).alias("cell"),
+            F.posexplode(vec_col).alias("idx", "x"),
+        )
+        means = (
+            assigned.groupBy("cell", "idx")
+            .agg(F.round(F.avg("x"), 6).alias("val"))
+            .collect()
+        )
+        nxt = [list(c) for c in centroids]  # empty cells keep prev centroid
+        for r in means:
+            nxt[r["cell"]][r["idx"]] = r["val"]
+        centroids = nxt
+    return centroids

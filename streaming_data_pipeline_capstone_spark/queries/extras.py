@@ -700,48 +700,104 @@ def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- X3e: IVF with TRAINED centroids (MLlib k-means; weak check) -------------
+# -- X3e: IVF with TRAINED centroids (deterministic k-means, full oracle) ----
 # The production IVF: centroids learned by k-means, vectors assigned to
 # their nearest centroid's cell, a probe scans the NPROBE cells whose
 # centroids are closest to the query (single-cell probing measured only
 # 0.4 recall@10 on the test embeddings — multi-probe is the standard
-# recall knob and still scans only nprobe/k of the corpus). The training
-# loop is iterative and not SQL-expressible, so this entry has no oracle —
-# the driver records the weaker rows-only check; the quality gate is
-# tests/test_llm_ops.py::test_kmeans_ivf_recall_vs_bruteforce (recall@10
-# >= 0.8 vs brute force). Probe math exactness is covered by
-# sim_topk_ivf / sim_topk_bruteforce.
+# recall knob and still scans only nprobe/k of the corpus). Training uses
+# operators/similarity.lloyd_kmeans_centroids — a deterministic Lloyd's
+# loop (lowest-id init, first-min tie-break, per-iteration 6dp centroid
+# rounding) chosen precisely so the ENTIRE pipeline, training included,
+# unrolls into the DuckDB oracle below: _KMEANS_ITERS assignment+update
+# rounds as CTEs, then the same multi-probe cosine top-k. The quality
+# gate stays tests/test_llm_ops.py::test_kmeans_ivf_recall_vs_bruteforce
+# (recall@10 >= 0.8 vs brute force).
 _KMEANS_K, _NPROBE = 8, 3
+_KMEANS_ITERS = 5
+_EMB_DIM = 64
 
 
-@register("sim_topk_kmeans_ivf")
+def _kmeans_ivf_oracle() -> str:
+    """Unrolled deterministic-Lloyd oracle: c0 → (assign, mean)×ITERS → probe."""
+    dim, k = _EMB_DIM, _KMEANS_K
+    sq = (
+        "list_sum(list_transform(range(1, {d}+1), "
+        "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))"
+    ).format(d=dim)
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (SELECT cell, cv FROM (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv FROM e
+        ) WHERE cell < {k})""",
+    ]
+    for it in range(1, _KMEANS_ITERS + 1):
+        prev = f"c{it - 1}"
+        ctes.append(
+            f"""a{it} AS (SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {sq} ASC, c.cell ASC) AS rn
+                FROM e, {prev} c) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{it} AS (SELECT cell, idx, round(avg(v[idx]), 6) AS val
+                FROM a{it}, (SELECT unnest(range(1, {dim}+1)) AS idx) i
+                GROUP BY cell, idx)"""
+        )
+        ctes.append(
+            f"""c{it} AS (SELECT p.cell, coalesce(n.cv, p.cv) AS cv
+                FROM {prev} p LEFT JOIN (
+                    SELECT cell, list(val ORDER BY idx) AS cv FROM m{it} GROUP BY cell
+                ) n USING (cell))"""
+        )
+    last = f"c{_KMEANS_ITERS}"
+    ctes.append(
+        f"""af AS (SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {sq} ASC, c.cell ASC) AS rn
+            FROM e, {last} c) WHERE rn = 1)"""
+    )
+    ctes.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+    ctes.append(
+        f"""probe AS (SELECT cell FROM {last}, q
+            ORDER BY list_cosine_similarity(cv, qv) DESC, cell ASC LIMIT {_NPROBE})"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + """
+    SELECT af.vec_id, round(list_cosine_similarity(af.v, q.qv), 6) AS cosine_sim
+    FROM af JOIN probe USING (cell), q
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """
+    )
+
+
+@register("sim_topk_kmeans_ivf", _kmeans_ivf_oracle())
 def sim_topk_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        assign_cells,
+        lloyd_kmeans_centroids,
+    )
 
     emb = read_table(spark, sf_dir, "embeddings")
     as_double = F.transform("embedding", lambda x: x.cast("double"))
-    vecs = emb.select("vec_id", as_double.alias("v")).withColumn(
-        "features", array_to_vector("v")
-    )
-    km = KMeans(
-        k=_KMEANS_K, seed=42, maxIter=10, featuresCol="features", predictionCol="cell"
-    )
-    model = km.fit(vecs)
-    cells = model.transform(vecs).select("vec_id", "v", "cell")
+    vecs = emb.select("vec_id", as_double.alias("v"))
+    centroids = lloyd_kmeans_centroids(vecs, _KMEANS_K, _KMEANS_ITERS)
+    cells = vecs.withColumn("cell", assign_cells(F.col("v"), centroids))
 
     # rank cells by centroid-to-query cosine, probe the top NPROBE.
-    # clusterCenters() is model metadata (k tiny rows), not a data collect;
-    # everything over the corpus stays a cell-pruned broadcast join.
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, cv array<double>",
+    # The centroid frame is model metadata (k tiny rows), not a data
+    # collect; everything over the corpus stays a cell-pruned broadcast join.
+    centroids_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, cv array<double>"
     )
     query = cells.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     probe_cells = (
-        centroids.crossJoin(F.broadcast(query))
+        centroids_df.crossJoin(F.broadcast(query))
         .select("cell", cosine(F.col("cv"), F.col("qv")).alias("csim"))
-        .orderBy(F.desc("csim"))
+        .orderBy(F.desc("csim"), F.asc("cell"))
         .limit(_NPROBE)
         .select("cell")
     )

@@ -38,6 +38,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def _load_all() -> None:
     """Import every module that registers queries (side-effect imports)."""
     from streaming_data_pipeline_capstone_spark.queries import (  # noqa: F401
+        curation,
         extras,
         flagship,
         llm_ops,

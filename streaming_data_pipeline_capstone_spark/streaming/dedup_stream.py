@@ -33,6 +33,7 @@ from streaming_data_pipeline_capstone_spark.operators.dedup import (
     DEFAULT_BANDS,
     DEFAULT_NUM_HASHES,
     candidate_pairs_from_bands,
+    fingerprint,
     jaccard_verify,
     lsh_bands,
     minhash_signatures,
@@ -85,10 +86,27 @@ def _merge_batch(
     threshold: float,
     num_hashes: int,
     bands: int,
+    pre_dedup: bool = True,
 ) -> None:
     spark = batch.sparkSession
     bands_path = os.path.join(index_dir, "bands")
     sets_path = os.path.join(index_dir, "sets")
+
+    if pre_dedup:
+        # Streams are where pathological repetition actually shows up
+        # (crawl replays delivering the same page many times per batch):
+        # collapse normalization-identical docs to their min-id
+        # representative BEFORE shingling so k copies can't form a hot
+        # LSH bucket emitting k(k-1)/2 pairs — the same mitigation as
+        # the batch pipeline's minhash_lsh_dedup(pre_dedup=True), on by
+        # default here. One extra in-batch exchange on the 16-byte
+        # fingerprint, never on the text.
+        reps = (
+            batch.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias(id_col))
+        )
+        batch = batch.join(reps, id_col, "left_semi")
 
     sets_new = shingle_sets(batch, id_col, text_col).persist()
     bands_new = lsh_bands(minhash_signatures(sets_new, num_hashes), num_hashes, bands).persist()
@@ -144,18 +162,22 @@ def streaming_minhash_dedup(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     available_now: bool = True,
+    pre_dedup: bool = True,
 ) -> StreamingQuery:
     """Start the incremental dedup job over a stream of documents.
 
     Emits verified (doc1, doc2, jaccard, epoch) rows to ``pairs_dir`` —
     including pairs whose two sides arrived in different micro-batches —
     and maintains the band/shingle index under ``index_dir``.
+    ``pre_dedup`` (default ON) collapses normalization-identical docs
+    within each micro-batch before LSH — the hot-bucket mitigation.
     """
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
         _merge_batch(
             batch, epoch_id, index_dir, pairs_dir,
             id_col, text_col, threshold, num_hashes, bands,
+            pre_dedup=pre_dedup,
         )
 
     w = stream_docs.writeStream.foreachBatch(merge).option(

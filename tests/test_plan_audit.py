@@ -33,7 +33,12 @@ SF = "/root/testdata/sf0.001"
 # Queries where BroadcastNestedLoopJoin is the intended physical plan:
 # the broadcast side is constant-size (a literal band table / a single
 # query vector), so the "nested loop" is one in-memory row per probe.
-BNLJ_OK = {"join_range_price_bands", "sim_topk_bruteforce", "sim_topk_kmeans_ivf"}
+BNLJ_OK = {
+    "join_range_price_bands",
+    "sim_topk_bruteforce",
+    "sim_topk_kmeans_ivf",
+    "text_idf_profile",  # crossJoin against the broadcast 1-row corpus count
+}
 
 # Audited exchange count per query (broadcasts excluded). UPPER bounds:
 # going under is an improvement, going over is a regression that needs a
@@ -48,6 +53,7 @@ SHUFFLE_BUDGET = {
     "agg_pricing_summary": 1,
     "agg_rollup_status_priority": 1,
     "agg_stats_lineitem": 1,
+    "decontam_ngram_overlap": 2,  # eval-gram distinct + per-doc count; eval side broadcast
     "dedup_clusters": 0,  # iterative; plan truncated by localCheckpoint
     "dedup_embedding_cosine": 1,
     "dedup_exact": 1,
@@ -67,12 +73,14 @@ SHUFFLE_BUDGET = {
     "join_salted_revenue": 1,
     "join_semi_high_value": 0,
     "join_topk_orders": 1,
+    "mixture_sample_by_lang": 1,
     "ml_score_stub": 0,
     "multimodal_binary_meta": 0,
     "multimodal_extract_features": 0,
     "pipeline_predict_full": 1,
     "pipeline_preprocess_full": 0,
     "profile_orders": 2,
+    "quality_filter_composite": 0,
     "rollup_events_multires": 2,  # 1-min grain agg + 5-min cascade: two keyed exchanges
     "scalar_affine_pixel": 0,
     "scalar_clean_filter": 0,
@@ -100,6 +108,7 @@ SHUFFLE_BUDGET = {
     "stream_sliding_avg": 1,
     "stream_sliding_per_key": 1,
     "text_fingerprint": 0,
+    "text_idf_profile": 3,  # token-distinct, vocab df, per-doc rollup
     "text_quality_gopher": 2,  # token/bigram counts + per-doc rollup, both keyed on doc_id
     "text_lang_id": 0,
     "text_stats": 0,
@@ -113,6 +122,7 @@ SHUFFLE_BUDGET = {
 # these must never lose pushdown.
 MUST_PUSH_FILTER = {
     "agg_pricing_summary",
+    "decontam_ngram_overlap",
     "dedup_embedding_cosine",
     "join_anti_never_ordered",
     "join_asof_last_click",

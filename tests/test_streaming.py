@@ -372,6 +372,51 @@ def test_streaming_dedup_matches_across_batches(spark, tmpdir):
     assert all(150 not in p and 250 not in p for p in pairs)
 
 
+def test_streaming_dedup_duplicate_heavy_stream(spark, tmpdir):
+    """Crawl-replay shape: dozens of identical copies of one page per
+    micro-batch. The default in-batch pre-dedup must collapse them to one
+    representative — no quadratic identical-pair output, no hot LSH
+    bucket — while near-dup and cross-batch rep-to-rep pairs still land."""
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        streaming_minhash_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = (
+        [(i, base) for i in range(100, 130)]        # 30 identical copies
+        + [(140, base + " extra"),                  # true near-dup
+           (150, "completely different words about maritime vessel tracking")]
+        + [(i, base) for i in range(200, 230)]      # 30 MORE copies, next batch
+        + [(250, "unrelated content entirely separate from everything else")]
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    schema = replay_to_files(df, tmpdir + "/replay", 2, order_col="doc_id")
+    stream = stream_from_replay(spark, tmpdir + "/replay", schema)
+
+    q = streaming_minhash_dedup(
+        stream,
+        index_dir=tmpdir + "/index",
+        pairs_dir=tmpdir + "/pairs",
+        checkpoint_dir=tmpdir + "/ckpt",
+        threshold=0.5,
+    )
+    q.awaitTermination(180)
+
+    pairs = {
+        (r["doc1"], r["doc2"])
+        for r in spark.read.parquet(tmpdir + "/pairs").collect()
+    }
+    collapsed = set(range(101, 130)) | set(range(201, 230))
+    assert not any(a in collapsed or b in collapsed for a, b in pairs), (
+        "collapsed copies must never reach the pair output"
+    )
+    # without the collapse this stream emits >1,300 pairs (30·29/2 within
+    # each batch + 30·30 across); with it, only representative-level pairs
+    assert len(pairs) <= 6, f"quadratic identical-pair output: {len(pairs)} pairs"
+    assert (100, 140) in pairs            # near-dup survives, batch 1
+    assert (100, 200) in pairs            # cross-batch rep-to-rep (jaccard 1.0)
+
+
 def test_dedup_index_compaction_preserves_results(spark, tmpdir):
     """Compacting the band/shingle index must not change future matches."""
     from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
