@@ -69,6 +69,18 @@ def main() -> None:
     # isn't dominated by session startup.
     spark.range(1).count()
 
+    # Streaming bench runs FIRST: micro-batch rates measured in an aged JVM
+    # (after 33 batch query executions) read ~40% low vs a fresh session —
+    # front-running it keeps the metric comparable to a standalone
+    # tools/bench_streaming.py run.
+    try:
+        from tools.bench_streaming import run_streaming_bench
+
+        streaming = run_streaming_bench(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover - best-effort metric
+        streaming = {"error": f"{type(exc).__name__}: {exc}"}
+    spark.catalog.clearCache()
+
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     cold_total = 0.0
@@ -92,13 +104,6 @@ def main() -> None:
         # shingle index) must not leak cache into the next query's timing.
         spark.catalog.clearCache()
         print(f"# {name}: cold={dt:.3f}s warm={dw:.3f}s rows={n}", file=sys.stderr)
-
-    try:
-        from tools.bench_streaming import run_streaming_bench
-
-        streaming = run_streaming_bench(spark, sf_dir)
-    except Exception as exc:  # pragma: no cover - best-effort metric
-        streaming = {"error": f"{type(exc).__name__}: {exc}"}
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
