@@ -256,3 +256,63 @@ def lloyd_kmeans_centroids(
             nxt[r["cell"]][r["idx"]] = r["val"]
         centroids = nxt
     return centroids
+
+
+# -- product quantization (PQ) ------------------------------------------------
+# The standard 100 TB embedding-index compression: split each vector into
+# SUBS contiguous subvectors, k-means each subspace independently, store
+# each vector as SUBS small codes (here 4×3 bits ~ 8 B/vec vs 256 B raw),
+# and answer queries by Asymmetric Distance Computation — per-subspace
+# lookup tables of exact query-to-centroid distances, summed per code
+# tuple. Training reuses the deterministic Lloyd's above, so the ENTIRE
+# pipeline (training → encoding → ADC top-k) is reproducible in a SQL
+# oracle. Distributed shape: training = SUBS independent tiny-metadata
+# Lloyd's loops; encoding = pure per-row expressions (zero shuffles); ADC
+# scoring = per-row lookups into broadcast literal tables + top-k
+# reduction (TakeOrderedAndProject, zero shuffles).
+
+
+def pq_train(
+    vecs: DataFrame,
+    subs: int,
+    sub_dim: int,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks: result[s][code] = centroid (len sub_dim)."""
+    books = []
+    for s in range(subs):
+        sub = vecs.select(
+            id_col, F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(vec_col)
+        )
+        books.append(lloyd_kmeans_centroids(sub, k, iters, id_col, vec_col))
+    return books
+
+
+def pq_encode_cols(vec_col: Column, books: list[list[list[float]]], sub_dim: int) -> list[Column]:
+    """One int code column per subspace (nearest sub-centroid, first-min ties)."""
+    return [
+        assign_cells(F.slice(vec_col, s * sub_dim + 1, sub_dim), book).alias(f"c{s}")
+        for s, book in enumerate(books)
+    ]
+
+
+def pq_adc_score(
+    code_cols: list[Column], query: list[float], books: list[list[list[float]]], sub_dim: int
+) -> Column:
+    """ADC distance: Σ_s table_s[code_s], tables = exact squared L2 from the
+    query's subvector to each sub-centroid (computed once, index-order sums —
+    bit-identical to the SQL twin's per-subspace distance join)."""
+    total = F.lit(0.0)
+    for s, book in enumerate(books):
+        q_sub = query[s * sub_dim : (s + 1) * sub_dim]
+        table = [
+            sum((q_sub[i] - c[i]) * (q_sub[i] - c[i]) for i in range(sub_dim))
+            for c in book
+        ]
+        total = total + F.element_at(
+            F.array(*[F.lit(d) for d in table]), code_cols[s].cast("int") + 1
+        )
+    return total

@@ -718,47 +718,60 @@ _KMEANS_ITERS = 5
 _EMB_DIM = 64
 
 
-def _kmeans_ivf_oracle() -> str:
-    """Unrolled deterministic-Lloyd oracle: c0 → (assign, mean)×ITERS → probe."""
-    dim, k = _EMB_DIM, _KMEANS_K
-    sq = (
+def _lloyd_sq(dim: int) -> str:
+    """Squared-L2 between aliases ``e.v`` and ``c.cv`` (index-order sum)."""
+    return (
         "list_sum(list_transform(range(1, {d}+1), "
         "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))"
     ).format(d=dim)
+
+
+def _lloyd_assign_cte(name: str, src: str, cents: str, dim: int) -> str:
+    """CTE assigning each vector of ``src`` to its nearest ``cents`` centroid
+    (first-min tie-break, matching Spark's array_position-of-array_min)."""
+    return f"""{name} AS (SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_lloyd_sq(dim)} ASC, c.cell ASC) AS rn
+        FROM {src} e, {cents} c) WHERE rn = 1)"""
+
+
+def _lloyd_ctes(src: str, pfx: str, dim: int, k: int, iters: int) -> tuple[list[str], str]:
+    """Unrolled deterministic-Lloyd training over CTE ``src`` (vec_id, v).
+
+    Returns (CTE list, final-centroid CTE name). Mirrors
+    operators/similarity.lloyd_kmeans_centroids step for step: lowest-id
+    init, first-min assignment, per-dim mean rounded to 6 dp (the
+    cross-engine drift-killer), empty cells keep their previous centroid.
+    """
     ctes = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"""c0 AS (SELECT cell, cv FROM (
-            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv FROM e
-        ) WHERE cell < {k})""",
+        f"""{pfx}c0 AS (SELECT cell, cv FROM (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv FROM {src}
+        ) WHERE cell < {k})"""
     ]
-    for it in range(1, _KMEANS_ITERS + 1):
-        prev = f"c{it - 1}"
+    for it in range(1, iters + 1):
+        prev = f"{pfx}c{it - 1}"
+        ctes.append(_lloyd_assign_cte(f"{pfx}a{it}", src, prev, dim))
         ctes.append(
-            f"""a{it} AS (SELECT vec_id, v, cell FROM (
-                SELECT e.vec_id, e.v, c.cell,
-                       row_number() OVER (PARTITION BY e.vec_id
-                                          ORDER BY {sq} ASC, c.cell ASC) AS rn
-                FROM e, {prev} c) WHERE rn = 1)"""
-        )
-        ctes.append(
-            f"""m{it} AS (SELECT cell, idx, round(avg(v[idx]), 6) AS val
-                FROM a{it}, (SELECT unnest(range(1, {dim}+1)) AS idx) i
+            f"""{pfx}m{it} AS (SELECT cell, idx, round(avg(v[idx]), 6) AS val
+                FROM {pfx}a{it}, (SELECT unnest(range(1, {dim}+1)) AS idx) i
                 GROUP BY cell, idx)"""
         )
         ctes.append(
-            f"""c{it} AS (SELECT p.cell, coalesce(n.cv, p.cv) AS cv
+            f"""{pfx}c{it} AS (SELECT p.cell, coalesce(n.cv, p.cv) AS cv
                 FROM {prev} p LEFT JOIN (
-                    SELECT cell, list(val ORDER BY idx) AS cv FROM m{it} GROUP BY cell
+                    SELECT cell, list(val ORDER BY idx) AS cv FROM {pfx}m{it} GROUP BY cell
                 ) n USING (cell))"""
         )
-    last = f"c{_KMEANS_ITERS}"
-    ctes.append(
-        f"""af AS (SELECT vec_id, v, cell FROM (
-            SELECT e.vec_id, e.v, c.cell,
-                   row_number() OVER (PARTITION BY e.vec_id
-                                      ORDER BY {sq} ASC, c.cell ASC) AS rn
-            FROM e, {last} c) WHERE rn = 1)"""
-    )
+    return ctes, f"{pfx}c{iters}"
+
+
+def _kmeans_ivf_oracle() -> str:
+    """Unrolled deterministic-Lloyd oracle: c0 → (assign, mean)×ITERS → probe."""
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    train, last = _lloyd_ctes("e", "", _EMB_DIM, _KMEANS_K, _KMEANS_ITERS)
+    ctes += train
+    ctes.append(_lloyd_assign_cte("af", "e", last, _EMB_DIM))
     ctes.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
     ctes.append(
         f"""probe AS (SELECT cell FROM {last}, q
@@ -835,3 +848,113 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(query), cells["cell"] == query["qcell"], "inner"
     ).select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine_sim"))
     return probed.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)
+
+
+# -- X3g: product quantization (PQ) — compressed codes + ADC top-k -----------
+# PQ is how 100 TB embedding indexes actually fit in memory: 4 independent
+# deterministic-Lloyd codebooks over 16-dim subvectors compress each
+# 64-dim float vector to 4 small codes; queries score against per-subspace
+# exact distance tables (ADC). Training reuses the same oracle-unrollable
+# Lloyd's as sim_topk_kmeans_ivf, so BOTH the encoding and the ADC top-k
+# are fully hash-checked against DuckDB — training included.
+_PQ_SUBS, _PQ_SUB_DIM = 4, 16
+_PQ_K, _PQ_ITERS = 8, 3
+
+
+def _pq_base_ctes() -> list[str]:
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    assigns = []
+    for s in range(_PQ_SUBS):
+        lo = s * _PQ_SUB_DIM + 1
+        ctes.append(
+            f"e{s} AS (SELECT vec_id, list_slice(v, {lo}, {lo + _PQ_SUB_DIM - 1}) AS v FROM e)"
+        )
+        train, last = _lloyd_ctes(f"e{s}", f"s{s}_", _PQ_SUB_DIM, _PQ_K, _PQ_ITERS)
+        ctes += train
+        ctes.append(_lloyd_assign_cte(f"s{s}_af", f"e{s}", last, _PQ_SUB_DIM))
+        assigns.append(f"s{s}_af")
+    return ctes
+
+
+def _pq_encode_oracle() -> str:
+    ctes = _pq_base_ctes()
+    joins = " ".join(
+        f"JOIN s{s}_af a{s} USING (vec_id)" for s in range(1, _PQ_SUBS)
+    )
+    cols = ", ".join(f"a{s}.cell AS c{s}" for s in range(_PQ_SUBS))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a0.vec_id, {cols} FROM s0_af a0 {joins}"
+    )
+
+
+def _pq_topk_oracle() -> str:
+    ctes = _pq_base_ctes()
+    for s in range(_PQ_SUBS):
+        lo = s * _PQ_SUB_DIM + 1
+        ctes.append(
+            f"q{s} AS (SELECT list_slice(v, {lo}, {lo + _PQ_SUB_DIM - 1}) AS qv "
+            "FROM e WHERE vec_id = 0)"
+        )
+        ctes.append(
+            f"""dt{s} AS (SELECT c.cell,
+                list_sum(list_transform(range(1, {_PQ_SUB_DIM}+1),
+                    i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d
+                FROM s{s}_c{_PQ_ITERS} c, q{s} q)"""
+        )
+    joins = " ".join(
+        f"JOIN s{s}_af a{s} USING (vec_id)" for s in range(1, _PQ_SUBS)
+    ) + " " + " ".join(
+        f"JOIN dt{s} ON a{s}.cell = dt{s}.cell" for s in range(_PQ_SUBS)
+    )
+    total = " + ".join(f"dt{s}.d" for s in range(_PQ_SUBS))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT a0.vec_id, round({total}, 6) AS adc_dist
+    FROM s0_af a0 {joins}
+    ORDER BY adc_dist ASC, vec_id ASC
+    LIMIT 10
+    """
+    )
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    from streaming_data_pipeline_capstone_spark.operators.similarity import pq_train
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    vecs = emb.select("vec_id", as_double.alias("v"))
+    return vecs, pq_train(vecs, _PQ_SUBS, _PQ_SUB_DIM, _PQ_K, _PQ_ITERS)
+
+
+@register("emb_pq_encode", _pq_encode_oracle())
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_pipeline_capstone_spark.operators.similarity import pq_encode_cols
+
+    vecs, books = _pq_books(spark, sf_dir)
+    # encoding is pure per-row expressions over literal codebooks — zero
+    # shuffles, fully parallel, exactly what runs over the whole corpus
+    # when building the compressed index.
+    return vecs.select("vec_id", *pq_encode_cols(F.col("v"), books, _PQ_SUB_DIM))
+
+
+@register("sim_pq_topk", _pq_topk_oracle())
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        pq_adc_score,
+        pq_encode_cols,
+    )
+
+    vecs, books = _pq_books(spark, sf_dir)
+    query = [
+        float(x)
+        for x in vecs.filter(F.col("vec_id") == 0).select("v").head()[0]
+    ]
+    codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
+    encoded = vecs.select("vec_id", *pq_encode_cols(F.col("v"), books, _PQ_SUB_DIM))
+    scored = encoded.select(
+        "vec_id",
+        F.round(pq_adc_score(codes, query, books, _PQ_SUB_DIM), 6).alias("adc_dist"),
+    )
+    return scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)

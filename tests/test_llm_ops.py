@@ -118,10 +118,11 @@ def test_connected_components_known_graph(spark):
 
 
 def test_kmeans_ivf_recall_vs_bruteforce(spark, sf_oracle):
-    """The trained-centroid IVF has no SQL oracle (iterative k-means), so
-    its quality gate lives here: recall@10 against exhaustive brute-force
-    cosine top-10 must be >= 0.8 on real data. Probing a single cell
-    trades a bounded amount of recall for a corpus-fraction scan."""
+    """Quality gate for the trained-centroid IVF (its deterministic-Lloyd
+    pipeline is ALSO hash-checked against a DuckDB oracle since round 3 —
+    this test guards the orthogonal property): recall@10 against
+    exhaustive brute-force cosine top-10 must be >= 0.8. Probing nprobe
+    cells trades a bounded amount of recall for a corpus-fraction scan."""
     from streaming_data_pipeline_capstone_spark.queries.extras import sim_topk_kmeans_ivf
     from streaming_data_pipeline_capstone_spark.queries.llm_ops import sim_topk_bruteforce
 
@@ -131,6 +132,36 @@ def test_kmeans_ivf_recall_vs_bruteforce(spark, sf_oracle):
     }
     recall = len(ivf_top10 & brute_top10) / len(brute_top10)
     assert recall >= 0.8, (recall, ivf_top10, brute_top10)
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, sf_oracle):
+    """PQ/ADC quality gate. The encode+ADC math is hash-checked against
+    the DuckDB oracle; this guards retrieval quality: recall@10 of the
+    ADC top-10 against EXACT squared-L2 top-10 (same metric — brute-force
+    cosine would be a metric mismatch on unnormalized vectors). Isotropic
+    random embeddings are PQ's worst case (no cluster structure for the
+    codebooks to exploit; 4 subspaces × 8 codes ≈ 12 bits/vector), so the
+    floor is deliberately modest — it exists to catch the machinery
+    breaking (recall collapsing to ~1/50 chance level), not to certify
+    benchmark-grade ANN quality on synthetic noise."""
+    from streaming_data_pipeline_capstone_spark.queries.extras import sim_pq_topk
+
+    emb = read_table(spark, sf_oracle, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = vecs.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    diff = F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b))
+    exact = (
+        vecs.crossJoin(F.broadcast(q))
+        .select("vec_id", F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x).alias("d"))
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(10)
+    )
+    exact_ids = {r["vec_id"] for r in exact.collect()}
+    pq_ids = {r["vec_id"] for r in sim_pq_topk(spark, sf_oracle).collect()}
+    recall = len(exact_ids & pq_ids) / 10
+    assert recall >= 0.3, (recall, pq_ids, exact_ids)
 
 
 def test_minhash_pre_dedup_kills_hot_bucket(spark):

@@ -61,6 +61,7 @@ SHUFFLE_BUDGET = {
     "dedup_minhash_lsh": 3,  # signature agg + band buckets + verify: intrinsic
     "dedup_ngram_jaccard": 2,
     "dedup_simhash": 0,
+    "emb_pq_encode": 0,  # literal codebooks: pure per-row exprs
     "emb_quantize_int8": 0,
     "feature_path_angle": 1,
     "flagship_last3_rolling": 1,  # ONE exchange feeds rank + rolling avg
@@ -97,6 +98,7 @@ SHUFFLE_BUDGET = {
     "setop_intersect_nations": 1,
     "setop_union_nations": 1,
     "sim_lsh_pairs": 1,
+    "sim_pq_topk": 0,  # ADC lookups vs literal tables + TakeOrderedAndProject
     "sim_topk_bruteforce": 0,
     "sim_topk_ivf": 0,
     "sim_topk_kmeans_ivf": 0,

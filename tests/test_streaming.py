@@ -334,6 +334,63 @@ def test_stateful_restart_carries_state(spark, tmpdir):
     assert got == {(_t(2), 2.0): 1, (_t(1), 1.0): 2, (_t(0), 0.0): 3}
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmpdir):
+    """Two watermarked streams joined on key + event-time interval must
+    produce exactly the rows the equivalent batch join produces —
+    including matches whose two sides arrive in DIFFERENT micro-batches
+    (the buffered-state path)."""
+    from streaming_data_pipeline_capstone_spark.streaming.stream_joins import (
+        stream_stream_interval_join,
+    )
+
+    # left: "pings"; right: "commands" within ±2 minutes should match
+    left_rows = [(1, _t(0), 1.0), (1, _t(10), 2.0), (2, _t(5), 3.0)]
+    right_rows = [
+        (1, _t(1), 100.0),   # matches ping @0 (lag 1m)
+        (1, _t(9), 101.0),   # matches ping @10 (lead 1m)
+        (1, _t(5), 102.0),   # matches nothing (3m+ from both pings)
+        (2, _t(6), 103.0),   # matches ping @5
+        (3, _t(0), 104.0),   # no key match
+    ]
+    ldf, rdf = _events_df(spark, left_rows), _events_df(spark, right_rows)
+    ls = replay_to_files(ldf, f"{tmpdir}/l", num_chunks=2, order_col="ts")
+    rs = replay_to_files(rdf, f"{tmpdir}/r", num_chunks=2, order_col="ts")
+    lstream = stream_from_replay(spark, f"{tmpdir}/l", ls).withColumnsRenamed(
+        {"ts": "lts", "value": "lval"}
+    )
+    rstream = stream_from_replay(spark, f"{tmpdir}/r", rs).withColumnsRenamed(
+        {"ts": "rts", "value": "rval"}
+    )
+
+    joined = stream_stream_interval_join(
+        lstream, rstream, key="user_id", left_ts="lts", right_ts="rts",
+        max_lag="2 minutes", watermark="10 minutes",
+    ).select("l.user_id", "lval", "rval")
+    q = to_memory(joined, "ssj", output_mode="append")
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["lval"], r["rval"])
+        for r in spark.table("ssj").collect()
+    }
+    assert got == {(1, 1.0, 100.0), (1, 2.0, 101.0), (2, 3.0, 103.0)}
+
+    # batch equivalence: same condition on the static frames
+    lb = ldf.withColumnsRenamed({"ts": "lts", "value": "lval"})
+    rb = rdf.withColumnsRenamed({"ts": "rts", "value": "rval"})
+    batch = lb.alias("l").join(
+        rb.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("rts") >= F.expr("lts - INTERVAL 2 minutes"))
+        & (F.col("rts") <= F.expr("lts + INTERVAL 2 minutes")),
+    )
+    batch_set = {
+        (r["user_id"], r["lval"], r["rval"])
+        for r in batch.select("l.user_id", "lval", "rval").collect()
+    }
+    assert got == batch_set
+
+
 def test_streaming_dedup_matches_across_batches(spark, tmpdir):
     """Incremental near-dedup: a batch-2 document must match its batch-1
     near-duplicate via the persistent band index (cross-batch pair), and
