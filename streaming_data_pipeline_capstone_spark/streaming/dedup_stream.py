@@ -188,6 +188,28 @@ def streaming_minhash_dedup(
     return w.start()
 
 
+def exact_dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact streaming deduplication with bounded state.
+
+    The exact-dup twin of :func:`streaming_minhash_dedup`'s near-dup path:
+    emit only the FIRST arrival of each key combination, suppressing
+    re-deliveries that land within the watermark horizon. Built on
+    ``dropDuplicatesWithinWatermark`` so per-key state is EVICTED once the
+    event-time watermark passes — a plain ``dropDuplicates`` on a stream
+    buffers every key forever, which is exactly what a 100 TB ingest
+    cannot do. (Trade-off, documented: a duplicate arriving later than
+    the watermark horizon is re-emitted; crawl re-deliveries cluster
+    tightly in time, so the horizon buys bounded state for a bounded—and
+    tunable—dedup window.)
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def compact_index(spark, index_dir: str, partitions_per_table: int = 32) -> None:
     """Compact the growing band/shingle index.
 

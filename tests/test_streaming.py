@@ -474,6 +474,33 @@ def test_streaming_dedup_duplicate_heavy_stream(spark, tmpdir):
     assert (100, 200) in pairs            # cross-batch rep-to-rep (jaccard 1.0)
 
 
+def test_exact_dedup_stream_suppresses_redelivery(spark, tmpdir):
+    """dropDuplicatesWithinWatermark path: re-deliveries of the same key
+    in LATER micro-batches (within the watermark horizon) are suppressed;
+    distinct keys all pass; state is watermark-evictable by construction."""
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        exact_dedup_stream,
+    )
+
+    rows = [
+        (1, _t(0), 1.0),
+        (2, _t(1), 2.0),
+        (1, _t(2), 99.0),   # re-delivery of key 1, later micro-batch
+        (3, _t(3), 3.0),
+        (2, _t(4), 98.0),   # re-delivery of key 2
+    ]
+    df = _events_df(spark, rows)
+    schema = replay_to_files(df, f"{tmpdir}/replay", num_chunks=5, order_col="ts")
+    stream = stream_from_replay(spark, f"{tmpdir}/replay", schema)
+
+    out = exact_dedup_stream(stream, keys=["user_id"], ts_col="ts")
+    q = to_memory(out, "exact_dedup", output_mode="append")
+    q.awaitTermination(120)
+
+    got = {(r["user_id"], r["value"]) for r in spark.table("exact_dedup").collect()}
+    assert got == {(1, 1.0), (2, 2.0), (3, 3.0)}
+
+
 def test_dedup_index_compaction_preserves_results(spark, tmpdir):
     """Compacting the band/shingle index must not change future matches."""
     from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
