@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",        # shingle → minhash → band join over documents
     "sim_topk_bruteforce",      # cosine top-k over embeddings
     "scalar_clean_filter",      # scalar/filter pipeline over events
+    # round-3 additions: two more distinct physical shapes
+    "text_quality_gopher",      # explode fan-out absorbed by partial agg
+    "decontam_ngram_overlap",   # broadcast eval-gram join over corpus grams
 ]
 
 
