@@ -57,16 +57,25 @@ def asof_join(
     right_ts: str,
     right_payload: list[str] | None = None,
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right_ts <= left_ts`` (``<`` when ``strict``) on the same key.
+    ``right_ts <= left_ts`` (``direction="backward"``, default) or the
+    earliest right row with ``right_ts >= left_ts`` (``"forward"``);
+    ``strict`` excludes the equal-timestamp row in either direction.
 
     Implemented as union + tagged forward-fill: tag rows by side, sort
-    within key by (ts, tag), carry the last-seen right payload forward.
-    Exactly one hash exchange on the key — no range-condition blowup, no
-    broadcast requirement, works at any key cardinality. The streaming
-    twin of this is the keyed state operator (streaming/state.py).
+    within key by (ts, tag) — ascending for backward, descending for
+    forward — and carry the last-seen right payload through the
+    traversal. Exactly one hash exchange on the key — no range-condition
+    blowup, no broadcast requirement, works at any key cardinality. The
+    streaming twin of this is the keyed state operator
+    (streaming/state.py). For nearest-neighbor semantics run both
+    directions and pick the smaller timestamp gap per left row (see
+    queries join_asof_nearest_click).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [key] if isinstance(key, str) else list(key)
     payload_cols = right_payload or [c for c in right.columns if c not in {*keys, right_ts}]
 
@@ -88,14 +97,22 @@ def asof_join(
     # so an equal-ts right row is not yet visible.
     # __payload is the final tiebreak: when several right rows share the
     # same (key, ts), struct ordering (field by field) makes the winning
-    # payload deterministic across runs/partitionings — the max payload
-    # sorts last and wins the forward-fill. Left rows all carry NULL
-    # payloads, so their relative order is immaterial.
-    side_order = [
-        F.col("__ts"),
-        F.col("__side").asc() if not strict else F.col("__side").desc(),
-        F.col("__payload").asc_nulls_first(),
-    ]
+    # payload deterministic across runs/partitionings — the payload that
+    # sorts LAST in traversal order wins the forward-fill (max payload
+    # for backward, min for forward). Left rows all carry NULL payloads,
+    # so their relative order is immaterial.
+    if direction == "backward":
+        side_order = [
+            F.col("__ts").asc(),
+            F.col("__side").asc() if not strict else F.col("__side").desc(),
+            F.col("__payload").asc_nulls_first(),
+        ]
+    else:  # forward: traverse from the latest timestamp down
+        side_order = [
+            F.col("__ts").desc(),
+            F.col("__side").asc() if not strict else F.col("__side").desc(),
+            F.col("__payload").desc_nulls_first(),
+        ]
     w = Window.partitionBy(*keys).orderBy(*side_order).rowsBetween(Window.unboundedPreceding, 0)
     filled = r.unionByName(l).withColumn("__ff", F.last("__payload", ignorenulls=True).over(w))
     out = filled.filter(F.col("__side") == 1).select(

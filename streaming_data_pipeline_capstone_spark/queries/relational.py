@@ -292,6 +292,98 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- as-of, forward direction: the EARLIEST click at-or-after each purchase --
+# Oracle = the operator's traversal transcribed: window ordered ts DESC
+# with clicks sorting before purchases inside an equal-timestamp group
+# (exactly the operator's side tag), last_value IGNORE NULLS carrying the
+# next click down the descending traversal.
+@register(
+    "join_asof_next_click",
+    """
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+               FROM events),
+    tagged AS (
+      SELECT *, last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id
+                   ORDER BY ts DESC,
+                            CASE WHEN event_type = 'click' THEN 0 ELSE 1 END ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_click_ts
+      FROM e
+    )
+    SELECT event_id, user_id, ts, next_click_ts
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        right_payload=[], direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("ts_right").alias("next_click_ts")
+    )
+
+
+# -- as-of, nearest direction: whichever click is closer in time -------------
+# backward + forward passes joined on the purchase id; ties go backward.
+# Interval comparison in the oracle ≡ unix-micros arithmetic in Spark
+# (both exact integer µs).
+@register(
+    "join_asof_nearest_click",
+    """
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+               FROM events),
+    tagged AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bts,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts DESC,
+                              CASE WHEN event_type = 'click' THEN 0 ELSE 1 END ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fts
+      FROM e
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN bts IS NULL THEN fts
+                WHEN fts IS NULL THEN bts
+                WHEN (ts - bts) <= (fts - ts) THEN bts
+                ELSE fts END AS nearest_click_ts
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    b = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        right_payload=[],
+    ).select("event_id", "user_id", "ts", F.col("ts_right").alias("bts"))
+    f = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        right_payload=[], direction="forward",
+    ).select("event_id", F.col("ts_right").alias("fts"))
+    j = b.join(f, "event_id")
+    gap_b = F.unix_micros("ts") - F.unix_micros("bts")
+    gap_f = F.unix_micros("fts") - F.unix_micros("ts")
+    nearest = (
+        F.when(F.col("bts").isNull(), F.col("fts"))
+        .when(F.col("fts").isNull(), F.col("bts"))
+        .when(gap_b <= gap_f, F.col("bts"))
+        .otherwise(F.col("fts"))
+    )
+    return j.select("event_id", "user_id", "ts", nearest.alias("nearest_click_ts"))
+
+
 # -- set operations -------------------------------------------------------------
 @register(
     "setop_union_nations",

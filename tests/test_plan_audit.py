@@ -67,6 +67,8 @@ SHUFFLE_BUDGET = {
     "flagship_last3_rolling": 1,  # ONE exchange feeds rank + rolling avg
     "join_anti_never_ordered": 0,
     "join_asof_last_click": 1,
+    "join_asof_nearest_click": 2,  # backward + forward passes, purchase-id join
+    "join_asof_next_click": 1,
     "join_full_outer_nations": 2,  # full outer can't broadcast
     "join_left_outer_counts": 1,
     "join_range_price_bands": 1,
@@ -128,6 +130,8 @@ MUST_PUSH_FILTER = {
     "dedup_embedding_cosine",
     "join_anti_never_ordered",
     "join_asof_last_click",
+    "join_asof_nearest_click",
+    "join_asof_next_click",
     "join_left_outer_counts",
     "join_range_price_bands",
     "join_regional_revenue",

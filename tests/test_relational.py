@@ -74,6 +74,60 @@ def test_asof_join_tied_right_ts_deterministic(spark):
     assert seen == {3.0}
 
 
+def test_asof_join_forward(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T10:00:00"), 1.0),
+            ("A", _ts("2024-01-01T10:05:00"), 2.0),
+            ("B", _ts("2024-01-01T10:01:00"), 9.0),
+        ],
+        "sym string, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T10:03:00")),  # next quote at 10:05 → 2.0
+            ("A", _ts("2024-01-01T10:00:00")),  # equal ts → 1.0 (inclusive)
+            ("A", _ts("2024-01-01T10:06:00")),  # after the last quote → null
+            ("B", _ts("2024-01-01T09:00:00")),  # → 9.0
+        ],
+        "sym string, tts timestamp",
+    )
+    out = asof_join(
+        trades, quotes, key="sym", left_ts="tts", right_ts="qts", direction="forward"
+    )
+    got = {(r.sym, r.tts.isoformat()): r.px for r in out.collect()}
+    assert got[("A", "2024-01-01T10:03:00")] == 2.0
+    assert got[("A", "2024-01-01T10:00:00")] == 1.0
+    assert got[("A", "2024-01-01T10:06:00")] is None
+    assert got[("B", "2024-01-01T09:00:00")] == 9.0
+    assert out.count() == trades.count()
+
+
+def test_asof_join_forward_strict_and_ties(spark):
+    quotes = spark.createDataFrame(
+        [("A", _ts("2024-01-01T10:05:00"), px) for px in (3.0, 1.0, 2.0)],
+        "sym string, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", _ts("2024-01-01T10:05:00"))], "sym string, tts timestamp"
+    )
+    # equal ts excluded under strict
+    strict = asof_join(
+        trades, quotes, key="sym", left_ts="tts", right_ts="qts",
+        strict=True, direction="forward",
+    )
+    assert strict.collect()[0].px is None
+    # tied right rows: forward picks the MIN payload, stable across layouts
+    seen = set()
+    for n_part in (1, 3, 7):
+        out = asof_join(
+            trades.repartition(n_part), quotes.repartition(n_part),
+            key="sym", left_ts="tts", right_ts="qts", direction="forward",
+        )
+        seen.add(out.collect()[0].px)
+    assert seen == {1.0}
+
+
 def test_broadcast_join_in_plan(spark, sf_smoke):
     from streaming_data_pipeline_capstone_spark.queries.relational import (
         join_regional_revenue,
