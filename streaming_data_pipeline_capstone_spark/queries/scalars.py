@@ -300,3 +300,40 @@ def feature_path_angle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(path_angle_deg("x1", "y1", "x2", "y2", "x", "y"), 6).alias("path_angle"),
         F.when(bbox_filter("y", "x"), 1).otherwise(0).alias("in_region"),
     )
+
+
+# -- Spark 4 VARIANT: semi-structured decode without a fixed schema ----------
+# The modern alternative to from_json-with-schema for ragged payloads: one
+# parse_json into the binary VARIANT encoding, then typed variant_get
+# extractions by path. The oracle recomputes the extractions from the
+# source columns — the JSON roundtrip is lossless (ints exact,
+# shortest-roundtrip doubles), the same guarantee pipeline_preprocess_full
+# relies on. The variant column is projected once so the three extracts
+# share a single parse (CollapseProject keeps non-cheap multiply-
+# referenced projections materialized).
+@register(
+    "scalar_variant_extract",
+    """
+    SELECT event_id,
+           user_id AS vuser,
+           event_type AS vtype,
+           value AS vvalue
+    FROM events
+    """,
+)
+def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    envelope = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.struct(F.col("user_id"), F.col("event_type")).alias("meta"),
+            F.col("value"),
+        )
+    )
+    with_v = events.select("event_id", F.parse_json(envelope).alias("v"))
+    return with_v.select(
+        "event_id",
+        F.variant_get("v", "$.meta.user_id", "bigint").alias("vuser"),
+        F.variant_get("v", "$.meta.event_type", "string").alias("vtype"),
+        F.variant_get("v", "$.value", "double").alias("vvalue"),
+    )

@@ -95,6 +95,7 @@ SHUFFLE_BUDGET = {
     "scalar_spike_ffill": 1,
     "scalar_string_funcs": 0,
     "scalar_ts_z_roundtrip": 0,
+    "scalar_variant_extract": 0,
     "scalar_wkt_extract": 0,
     "setop_except_customers": 1,
     "setop_intersect_nations": 1,
