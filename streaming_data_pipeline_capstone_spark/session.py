@@ -49,6 +49,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime bloom-filter join pruning (off by default): on a selective
+        # fact-fact sort-merge join, the filtered side's join keys seed a
+        # bloom filter that prunes the other side's scan/shuffle. Its size
+        # thresholds (~10MB creation side) mean it never fires at test SF —
+        # plan-audit verified identical plans — and only kicks in at the
+        # scale where it pays.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
