@@ -203,7 +203,7 @@ _MAX_DIGIT_FRAC = 0.2
     m AS (
       SELECT doc_id, lang,
              len(t) AS n_tokens,
-             CAST(list_sum(list_transform(t, x -> CAST(strlen(x) AS BIGINT)))
+             CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT)))
                   AS DOUBLE) / greatest(len(t), 1) AS mean_tok,
              CAST(n_digits AS DOUBLE) / n_chars AS digit_frac
       FROM s

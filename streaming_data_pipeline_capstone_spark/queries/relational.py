@@ -341,7 +341,9 @@ def join_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged AS (
       SELECT *,
              last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id
+                     ORDER BY ts,
+                              CASE WHEN event_type = 'click' THEN 0 ELSE 1 END ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bts,
              last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
                OVER (PARTITION BY user_id

@@ -49,12 +49,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Runtime bloom-filter join pruning (off by default): on a selective
-        # fact-fact sort-merge join, the filtered side's join keys seed a
-        # bloom filter that prunes the other side's scan/shuffle. Its size
-        # thresholds (~10MB creation side) mean it never fires at test SF —
-        # plan-audit verified identical plans — and only kicks in at the
-        # scale where it pays.
+        # Runtime bloom-filter join pruning (default-on in Spark 4.x; pinned
+        # explicitly so the scale posture survives a default change): on a
+        # selective fact-fact sort-merge join, the filtered side's join keys
+        # seed a bloom filter that prunes the other side's scan/shuffle. Its
+        # size thresholds (~10MB creation side) mean it never fires at test
+        # SF — plan-audit verified identical plans — and only kicks in at
+        # the scale where it pays.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
