@@ -25,22 +25,48 @@ def replay_to_files(
     num_chunks: int,
     order_col: str | None = None,
 ) -> T.StructType:
-    """Split ``df`` into ``num_chunks`` parquet files under ``path`` in
-    ``order_col`` order (chunk i = micro-batch i). Returns the schema for
-    the matching stream reader."""
+    """Split ``df`` into ``num_chunks`` parquet chunk directories under
+    ``path`` in ``order_col`` order (chunk i = micro-batch i). Returns the
+    schema for the matching stream reader.
+
+    Rows never visit the driver: chunk ids derive from a
+    ``row_number``-over-order window (executor-side, one ordered task —
+    the price of deterministic global chunking) and land via a single
+    ``partitionBy("chunk")`` write. Only ``count()`` comes back to the
+    driver. The file-stream source orders files by modification time, so
+    after the parallel write each chunk's files are re-stamped with
+    ascending mtimes to pin micro-batch order deterministically.
+    """
+    from pyspark.sql import Window
+
     os.makedirs(path, exist_ok=True)
-    src = df.orderBy(order_col) if order_col else df
-    rows = src.collect()
     schema = df.schema
-    n = max(1, (len(rows) + num_chunks - 1) // num_chunks)
-    spark = df.sparkSession
-    for i in range(num_chunks):
-        chunk = rows[i * n : (i + 1) * n]
-        if not chunk:
-            break
-        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("overwrite").parquet(
-            f"{path}/chunk={i:05d}"
-        )
+    total = df.count()
+    n = max(1, (total + num_chunks - 1) // num_chunks)
+    order = F.col(order_col) if order_col else F.monotonically_increasing_id()
+    w = Window.orderBy(order)
+    chunk = F.lpad(
+        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(n)).cast("string"),
+        5,
+        "0",
+    )
+    (
+        df.withColumn("chunk", chunk)
+        .write.mode("overwrite")
+        .partitionBy("chunk")
+        .parquet(path)
+    )
+    # Deterministic replay order: FileStreamSource admits files sorted by
+    # mtime; a single write stamps them near-identically, so re-stamp
+    # chunk k at base+k seconds (metadata-only, local FS).
+    base = int(os.stat(path).st_mtime)
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("chunk="):
+            continue
+        k = int(entry.split("=", 1)[1])
+        cdir = os.path.join(path, entry)
+        for fname in os.listdir(cdir):
+            os.utime(os.path.join(cdir, fname), (base + k, base + k))
     return schema
 
 
