@@ -119,6 +119,10 @@ def main() -> None:
                 "metric": "bench_suite_warm_total",
                 "value": round(warm_total, 3),
                 "unit": "sec",
+                # r1/r2 artifacts put the COLD suite total in "value";
+                # since r3 it is the warm total. Cross-round comparisons
+                # must use cold_total vs old value, or warm vs warm.
+                "metric_note": "value=warm since r3; compare cold_total to r1/r2 value",
                 "queries": warm,
                 "queries_cold": cold,
                 "cold_total": round(cold_total, 3),

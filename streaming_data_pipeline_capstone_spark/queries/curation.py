@@ -40,7 +40,18 @@ from streaming_data_pipeline_capstone_spark.registry import register
 from streaming_data_pipeline_capstone_spark.sources.readers import read_table
 
 # -- decontamination ---------------------------------------------------------
-_DECON_N = 3          # n-gram width; benchmark-overlap checks use fixed n
+# n-gram width trade-off: published decontamination recipes use 8-13-gram
+# windows — long enough that a match is near-certain verbatim benchmark
+# text. Short n (3) over-flags at corpus scale: common trigrams collide by
+# chance, so the flagged set grows with corpus size and recall of *true*
+# contamination is bought with a large false-positive tax. Both widths are
+# registered: n=3 (`decontam_ngram_overlap`, the sensitive/over-flagging
+# end) and n=8 (`decontam_ngram_overlap_w8`, the published operating
+# point). At sf0.01 the n=3 variant flags ~1/3 of the corpus while n=8
+# flags only docs sharing verbatim 8-word spans with the eval slice —
+# the near-duplicate strata — which is the intended behavior.
+_DECON_N = 3          # sensitive end of the published 8-13-gram range
+_DECON_N_W8 = 8       # published operating point (GPT-3/PaLM-style 8-13)
 _EVAL_MOD = 97        # doc_id % 97 == 0 → the stand-in "benchmark" slice
 
 
@@ -53,9 +64,8 @@ def _strict_ngrams(t: F.Column, n: int) -> F.Column:
     return F.array_distinct(grams)
 
 
-@register(
-    "decontam_ngram_overlap",
-    f"""
+def _decontam_oracle(n: int) -> str:
+    return f"""
     WITH t AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
       FROM documents
@@ -63,9 +73,9 @@ def _strict_ngrams(t: F.Column, n: int) -> F.Column:
     g AS (
       SELECT DISTINCT doc_id, gram FROM (
         SELECT doc_id,
-               unnest(list_transform(range(1, len(t) - {_DECON_N} + 2),
-                      i -> array_to_string(list_slice(t, i, i + {_DECON_N} - 1), ' '))) AS gram
-        FROM t WHERE len(t) >= {_DECON_N}
+               unnest(list_transform(range(1, len(t) - {n} + 2),
+                      i -> array_to_string(list_slice(t, i, i + {n} - 1), ' '))) AS gram
+        FROM t WHERE len(t) >= {n}
       )
     ),
     eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_EVAL_MOD} = 0)
@@ -73,13 +83,14 @@ def _strict_ngrams(t: F.Column, n: int) -> F.Column:
     FROM g JOIN eg USING (gram)
     WHERE g.doc_id % {_EVAL_MOD} <> 0
     GROUP BY g.doc_id
-    """,
-)
-def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _decontam(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     with_t = docs.select("doc_id", tokens("text").alias("t"))
     grams = with_t.select(
-        "doc_id", F.explode(_strict_ngrams(F.col("t"), _DECON_N)).alias("gram")
+        "doc_id", F.explode(_strict_ngrams(F.col("t"), n)).alias("gram")
     )
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
     eval_grams = grams.filter(is_eval).select("gram").distinct()
@@ -91,6 +102,16 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_ngrams"))
     )
+
+
+@register("decontam_ngram_overlap", _decontam_oracle(_DECON_N))
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decontam(spark, sf_dir, _DECON_N)
+
+
+@register("decontam_ngram_overlap_w8", _decontam_oracle(_DECON_N_W8))
+def decontam_ngram_overlap_w8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decontam(spark, sf_dir, _DECON_N_W8)
 
 
 # -- document-frequency profile ----------------------------------------------

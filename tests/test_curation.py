@@ -8,6 +8,7 @@ from streaming_data_pipeline_capstone_spark.queries.curation import (
     _EVAL_MOD,
     _LANG_ALLOW,
     decontam_ngram_overlap,
+    decontam_ngram_overlap_w8,
     mixture_sample_by_lang,
     quality_filter_composite,
     text_idf_profile,
@@ -20,6 +21,26 @@ def test_decontam_never_flags_eval_docs_and_counts_positive(spark, sf_smoke):
     for r in rows:
         assert r["doc_id"] % _EVAL_MOD != 0, "eval docs must not self-flag"
         assert r["n_shared_ngrams"] >= 1
+
+
+def test_decontam_w8_finds_planted_contamination(spark, tmp_path):
+    # The published 8-gram operating point flags ~nothing at tiny SF (the
+    # oracle row at sf0.01 is a 0-row match), so prove the width is live
+    # with planted data: one corpus doc shares a verbatim 8-word span with
+    # an eval doc, a second shares only a 7-word span (must NOT flag).
+    span8 = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, f"benchmark prompt says {span8} and then stops", "en", "eval", 1),
+        (1, f"training page quoting {span8} verbatim inside prose", "en", "web", 1),
+        (2, "training page with alpha beta gamma delta epsilon zeta eta only", "en", "web", 1),
+        (3, "entirely unrelated text about shipping lanes and weather", "en", "web", 1),
+    ]
+    # doc_id 0 ≡ 0 mod _EVAL_MOD → the eval slice; 1-3 are corpus docs.
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    d = str(tmp_path / "planted")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+    got = {r["doc_id"]: r["n_shared_ngrams"] for r in decontam_ngram_overlap_w8(spark, d).collect()}
+    assert got == {1: 1}, f"only the verbatim-8-gram doc should flag, got {got}"
 
 
 def test_mixture_keeps_all_english(spark, sf_smoke):

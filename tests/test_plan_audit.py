@@ -54,6 +54,7 @@ SHUFFLE_BUDGET = {
     "agg_rollup_status_priority": 1,
     "agg_stats_lineitem": 1,
     "decontam_ngram_overlap": 2,  # eval-gram distinct + per-doc count; eval side broadcast
+    "decontam_ngram_overlap_w8": 2,  # same plan at the published 8-gram width
     "dedup_clusters": 0,  # iterative; plan truncated by localCheckpoint
     "dedup_embedding_cosine": 1,
     "dedup_exact": 1,
@@ -128,6 +129,7 @@ SHUFFLE_BUDGET = {
 MUST_PUSH_FILTER = {
     "agg_pricing_summary",
     "decontam_ngram_overlap",
+    "decontam_ngram_overlap_w8",
     "dedup_embedding_cosine",
     "join_anti_never_ordered",
     "join_asof_last_click",
