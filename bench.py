@@ -34,6 +34,7 @@ similarity — the shapes whose 100 TB behavior matters most.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -64,7 +65,14 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        help="parquet table directory to bench against (first-class scale mode)",
+    )
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
     spark = get_spark(app_name="bench")
     qs = all_queries()
 
@@ -108,7 +116,7 @@ def main() -> None:
         spark.catalog.clearCache()
         print(f"# {name}: cold={dt:.3f}s warm={dw:.3f}s rows={n}", file=sys.stderr)
 
-    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    sf = os.path.basename(sf_dir.rstrip("/")).lstrip(".").removeprefix("sf")
     try:
         sf_val: float | str = float(sf)
     except ValueError:

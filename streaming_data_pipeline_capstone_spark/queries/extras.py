@@ -375,7 +375,8 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(var_samp(l_quantity), 6) AS var_qty,
            round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
            round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
-           round(skewness(l_discount), 4) AS skew_disc
+           round(skewness(l_discount)
+                 * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 4) AS skew_disc
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -386,7 +387,10 @@ def agg_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
-        # 4 dp: skewness accumulation order differs across engines at ~1e-6
+        # Spark's skewness is the POPULATION estimator; DuckDB's is
+        # sample-bias-corrected (factor sqrt(n(n-1))/(n-2), ~3.6e-5 abs at
+        # sf0.001 — enough to flip a 4 dp rounding boundary). The oracle
+        # multiplies DuckDB's out by (n-2)/sqrt(n(n-1)) to match.
         F.round(F.skewness("l_discount"), 4).alias("skew_disc"),
     )
 

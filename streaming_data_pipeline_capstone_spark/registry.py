@@ -46,6 +46,7 @@ def _load_all() -> None:
         relational,
         scalars,
         streaming_like,
+        trained,
     )
 
 

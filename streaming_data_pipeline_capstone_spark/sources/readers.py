@@ -35,8 +35,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in ns_cols:
-        # integer div, not float: /1000 as double rounds the low microsecond
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        # Type-adaptive: the driver's testdata stores these as
+        # TIMESTAMP(NANOS) (surfaces as long under nanosAsLong); rewritten
+        # copies of the same tables (e.g. tools/make_sf1.py scale dirs) may
+        # store plain micros. Normalize both to TimestampType.
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):
+            # integer div, not float: /1000 as double rounds the low microsecond
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

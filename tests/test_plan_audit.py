@@ -82,6 +82,7 @@ SHUFFLE_BUDGET = {
     "multimodal_binary_meta": 0,
     "multimodal_extract_features": 0,
     "pipeline_predict_full": 1,
+    "pipeline_predict_trained": 1,  # one exchange on user_id serves lag+lead
     "pipeline_preprocess_full": 0,
     "profile_orders": 2,
     "quality_filter_composite": 0,
@@ -141,6 +142,7 @@ MUST_PUSH_FILTER = {
     "join_salted_revenue",
     "join_semi_high_value",
     "join_topk_orders",
+    "pipeline_predict_trained",  # holdout predicate pushes through the window
     "pipeline_preprocess_full",
     "rollup_events_multires",
     "scalar_clean_filter",

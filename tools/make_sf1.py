@@ -1,0 +1,173 @@
+"""Deterministic sf1 generator: a 10x scale-up of /root/testdata/sf0.1.
+
+The driver ships sf{0.001,0.01,0.1}; the scale-proof bench (VERDICT r3
+ask #1) needs one decade more. This builds sf1 (~6M lineitem) the way
+TPC-H itself scales: fact/entity tables grow 10x, the fixed dimensions
+(region, nation) stay put.
+
+Replication is BY KEY-SPACE, not by row copy: replica r in 0..9 offsets
+every scaled key (custkey, suppkey, partkey, orderkey, event_id,
+user_id, doc_id, vec_id) by r * 10_000_000, so each replica is a
+self-contained universe — join fan-outs, groups-per-key, and
+events-per-user stay at their sf0.1 values while key cardinality grows
+10x, which is exactly how a real corpus grows (more entities, not
+hotter ones).
+
+Two tables need more than key offsets to avoid DEGENERATE scaling:
+
+- documents: a verbatim 10x copy would give every doc 9 exact clones,
+  blowing every MinHash/SimHash bucket up ~10x and the pair output up
+  ~100x — that benches the degenerate corpus, not the 10x corpus. For
+  replica r>0 every whitespace token is prefixed with ``r{r}`` — an
+  isomorphic token-space remap, so intra-replica duplicate/near-dup
+  structure is EXACTLY preserved while cross-replica shingle overlap is
+  zero. n_chars is recomputed from the rewritten text.
+- embeddings: verbatim copies would make every vector its own 10-way
+  exact tie in similarity queries. Replica r>0 gets seeded N(0, 0.02)
+  noise per component (numpy, seed=r), preserving cluster structure
+  while keeping vectors distinct.
+
+Everything is seeded/closed-form: two runs produce byte-identical
+logical content (row order within parquet row groups may differ; every
+consumer sorts or aggregates).
+
+Output defaults to ``<repo>/.sf1`` (gitignored — ~200 MB of parquet
+does not belong in history; this script IS the artifact).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+STRIDE = 10_000_000
+REPLICAS = 10
+
+
+def copy_fixed(con: duckdb.DuckDBPyConnection, table: str, out_dir: str) -> None:
+    con.sql(
+        f"COPY (SELECT * FROM '{SRC}/{table}.parquet') "
+        f"TO '{out_dir}/{table}.parquet' (FORMAT PARQUET)"
+    )
+
+
+def scale_sql(con: duckdb.DuckDBPyConnection, table: str, select: str, out_dir: str) -> None:
+    con.sql(
+        f"COPY (SELECT {select} FROM '{SRC}/{table}.parquet', range({REPLICAS}) reps(r)) "
+        f"TO '{out_dir}/{table}.parquet' (FORMAT PARQUET)"
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    default_out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1"
+    )
+    ap.add_argument("--out", default=default_out)
+    args = ap.parse_args()
+    out = args.out
+    os.makedirs(out, exist_ok=True)
+
+    con = duckdb.connect()
+
+    # Fixed dimensions: TPC-H keeps these constant across SFs.
+    copy_fixed(con, "region", out)
+    copy_fixed(con, "nation", out)
+
+    scale_sql(
+        con,
+        "customer",
+        f"c_custkey + r*{STRIDE} AS c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment",
+        out,
+    )
+    scale_sql(
+        con,
+        "supplier",
+        f"s_suppkey + r*{STRIDE} AS s_suppkey, s_name, s_nationkey, s_acctbal",
+        out,
+    )
+    scale_sql(
+        con,
+        "part",
+        f"p_partkey + r*{STRIDE} AS p_partkey, p_name, p_brand, p_type, p_size, p_retailprice",
+        out,
+    )
+    scale_sql(
+        con,
+        "orders",
+        f"o_orderkey + r*{STRIDE} AS o_orderkey, o_custkey + r*{STRIDE} AS o_custkey, "
+        "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority",
+        out,
+    )
+    scale_sql(
+        con,
+        "lineitem",
+        f"l_orderkey + r*{STRIDE} AS l_orderkey, l_partkey + r*{STRIDE} AS l_partkey, "
+        f"l_suppkey + r*{STRIDE} AS l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
+        "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate",
+        out,
+    )
+    scale_sql(
+        con,
+        "events",
+        f"event_id + r*{STRIDE} AS event_id, ts, user_id + r*{STRIDE} AS user_id, "
+        "event_type, value, props",
+        out,
+    )
+    # Documents: isomorphic token remap per replica (see module docstring).
+    scale_sql(
+        con,
+        "documents",
+        f"doc_id + r*{STRIDE} AS doc_id, "
+        "CASE WHEN r = 0 THEN text "
+        "ELSE regexp_replace(text, '([A-Za-z0-9_]+)', 'r' || r || '\\1', 'g') END AS text, "
+        "lang, source, "
+        "length(CASE WHEN r = 0 THEN text "
+        "ELSE regexp_replace(text, '([A-Za-z0-9_]+)', 'r' || r || '\\1', 'g') END) AS n_chars",
+        out,
+    )
+    con.close()
+
+    # Embeddings: numpy-seeded perturbation per replica.
+    src = pq.read_table(f"{SRC}/embeddings.parquet")
+    vec_ids = src.column("vec_id").to_numpy()
+    labels = src.column("label").to_numpy()
+    mat = np.array(src.column("embedding").to_pylist(), dtype=np.float32)
+    out_ids, out_labels, out_vecs = [], [], []
+    for r in range(REPLICAS):
+        if r == 0:
+            vecs = mat
+        else:
+            rng = np.random.default_rng(r)
+            vecs = mat + rng.normal(0.0, 0.02, size=mat.shape).astype(np.float32)
+        out_ids.append(vec_ids + r * STRIDE)
+        out_labels.append(labels)
+        out_vecs.append(vecs)
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(out_ids), type=pa.int64()),
+            "embedding": pa.array(
+                [row for block in out_vecs for row in block.tolist()],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array(np.concatenate(out_labels), type=pa.int32()),
+        }
+    )
+    pq.write_table(table, f"{out}/embeddings.parquet")
+
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        n = pq.read_metadata(f"{out}/{t}.parquet").num_rows
+        print(f"{t}: {n}")
+
+
+if __name__ == "__main__":
+    main()
