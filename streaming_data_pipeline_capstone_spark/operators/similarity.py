@@ -8,9 +8,11 @@ Two paths:
   one TakeOrderedAndProject — no shuffle beyond the top-k reduction.
 - random-hyperplane LSH — the 100 TB path. Vectors bucket by the sign
   pattern of d dot products with deterministic pseudo-random planes
-  (plane[j][i] = sin(j·1009 + i), portable to any SQL engine); the
-  pairwise work then happens only inside buckets. Candidates are verified
-  with exact cosine.
+  (plane[j][i] = 2·frac(sin(j·1009 + i)·43758.5453) − 1, portable to any
+  SQL engine — see hyperplane_signature for why the fract-hash step is
+  load-bearing); the pairwise work then happens only inside buckets.
+  Candidates are verified with exact cosine. Banded OR-amplification
+  (num_bands > 1) raises recall from p^planes to 1−(1−p^planes)^bands.
 
 At real scale the LSH variant's bucket join shuffles on the 2^d-ary
 signature — skew-free for isotropic embeddings — and each bucket fits in
@@ -64,17 +66,29 @@ def cosine_topk(
 
 
 def hyperplane_signature(
-    vec: Column | str, num_planes: int = 8, dim: int = 64
+    vec: Column | str, num_planes: int = 8, dim: int = 64, plane_offset: int = 0
 ) -> Column:
     """LSH bucket id: sign bits of dot products with deterministic planes.
 
-    plane[j][i] = sin(j·1009 + i) — fixed, seedless, identical in every
-    engine and run. Returns a bit-string like '01101001'.
+    plane[j][i] = 2·frac(sin(j·1009 + i)·43758.5453) − 1 — fixed,
+    seedless, identical in every engine and run. The fract-hash step
+    matters: raw sin(j·1009 + i) planes are all phase shifts of ONE
+    sinusoid, so every plane lies in span{sin(i), cos(i)} — a 2-D shadow
+    of the embedding space — and band recall saturates no matter how many
+    bands you add (caught by the recall gate in tests/test_llm_ops.py).
+    Multiplying into the 4e4 range and taking the fractional part
+    decorrelates components, giving ~iid uniform(−1,1) planes. Returns a
+    bit-string like '01101001'. ``plane_offset`` shifts the plane index
+    range so bands draw disjoint plane sets.
     """
     v = _as_double(vec)
     bits = []
-    for j in range(num_planes):
-        plane = F.array(*[F.sin(F.lit(float(j * 1009 + i))) for i in range(dim)])
+    for j in range(plane_offset, plane_offset + num_planes):
+        comps = []
+        for i in range(dim):
+            s = F.sin(F.lit(float(j * 1009 + i))) * F.lit(43758.5453)
+            comps.append((s - F.floor(s)) * 2.0 - 1.0)
+        plane = F.array(*comps)
         bits.append(F.when(dot(v, plane) > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -107,6 +121,7 @@ def lsh_similar_pairs(
     threshold: float = 0.4,
     num_planes: int = 8,
     dim: int = 64,
+    num_bands: int = 1,
 ) -> DataFrame:
     """All (id1 < id2) pairs with cosine ≥ threshold, found via hyperplane
     buckets and verified exactly.
@@ -115,15 +130,46 @@ def lsh_similar_pairs(
     single numpy GEMM in applyInPandas (vs the naive bucket self-join,
     which evaluates the signature pipeline twice and scores pair-at-a-time
     through interpreted array expressions — measured 17 s → 1 s at sf0.1).
+
+    ``num_bands > 1`` turns on OR-amplification (the MinHash-LSH band
+    trick applied to hyperplanes): each band hashes with its own disjoint
+    ``num_planes`` planes and a pair is a candidate if ANY band agrees.
+    Collision probability for a pair at angular similarity p rises from
+    p^planes to 1-(1-p^planes)^bands — the knob that buys recall without
+    widening buckets. Data replication is bands×; pairs found by several
+    bands collapse in one distinct() (cosine is deterministic per pair,
+    so the 3-column distinct is exact). tests/test_llm_ops.py pins the
+    measured recall vs brute_force_pairs.
     """
+    if num_bands == 1:
+        tagged = corpus.select(
+            F.col(id_col).alias("vid"),
+            _as_double(vec_col).alias("v"),
+            hyperplane_signature(vec_col, num_planes, dim).alias("sig"),
+        )
+        return tagged.groupBy("sig").applyInPandas(
+            lambda pdf: _pairs_within(pdf, threshold), _PAIR_SCHEMA
+        )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                hyperplane_signature(
+                    vec_col, num_planes, dim, plane_offset=b * num_planes
+                ).alias("sig"),
+            )
+            for b in range(num_bands)
+        ]
+    )
     tagged = corpus.select(
         F.col(id_col).alias("vid"),
         _as_double(vec_col).alias("v"),
-        hyperplane_signature(vec_col, num_planes, dim).alias("sig"),
-    )
-    return tagged.groupBy("sig").applyInPandas(
+        F.explode(band_structs).alias("bs"),
+    ).select("vid", "v", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    pairs = tagged.groupBy("band", "sig").applyInPandas(
         lambda pdf: _pairs_within(pdf, threshold), _PAIR_SCHEMA
     )
+    return pairs.distinct()
 
 
 def brute_force_pairs(

@@ -103,6 +103,8 @@ SHUFFLE_BUDGET = {
     "setop_intersect_nations": 1,
     "setop_union_nations": 1,
     "sim_lsh_pairs": 1,
+    "sim_lsh_pairs_banded": 2,  # band-bucket groupBy + cross-band distinct
+
     "sim_pq_topk": 0,  # ADC lookups vs literal tables + TakeOrderedAndProject
     "sim_topk_bruteforce": 0,
     "sim_topk_ivf": 0,
