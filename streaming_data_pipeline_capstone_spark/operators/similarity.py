@@ -65,8 +65,64 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
+def _plane_component(j: int, i: int) -> Column:
+    """One plane coefficient as the canonical engine expression."""
+    s = F.sin(F.lit(float(j * 1009 + i))) * F.lit(43758.5453)
+    return (s - F.floor(s)) * 2.0 - 1.0
+
+
+def _plane_hof(j: int, dim: int) -> Column:
+    """Whole plane j as ONE small transform-over-sequence expression.
+
+    Evaluates exactly the same doubles as ``_plane_component`` (the sin
+    argument j·1009 + i is an exact integer double either way; verified
+    bit-equal in tests) but the Catalyst tree is ~15 nodes instead of
+    dim×8 — the sin calls move from plan-construction/folding time to a
+    single-row runtime evaluation.
+    """
+
+    def comp(i: Column) -> Column:
+        s = F.sin(F.lit(float(j * 1009)) + i.cast("double")) * F.lit(43758.5453)
+        return (s - F.floor(s)) * 2.0 - 1.0
+
+    return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), comp)
+
+
+# (plane_index, dim) -> the dim engine-evaluated coefficients. Populated by
+# materialize_planes; lives for the Python process (planes are seedless
+# constants, so staleness is impossible).
+_PLANE_CACHE: dict[tuple[int, int], list[float]] = {}
+
+
+def materialize_planes(spark, plane_ids: list[int], dim: int) -> list[list[float]]:
+    """Evaluate the plane constants ONCE via a one-row Spark query.
+
+    The sin/fract expressions are pure constants, but leaving them inline
+    makes every *launch* of a banded-LSH query pay Catalyst tree
+    construction + constant folding for bands×planes×dim sin-trees —
+    measured 35 s per run at 16 bands × 4 planes × 64 dims, independent of
+    data size. Evaluating them through the engine (not Python's math.sin,
+    which may differ from JVM sin in the last ulp) keeps the resulting
+    float literals byte-identical to what the inline expressions would
+    have produced, so bucket membership — and therefore the oracle hashes
+    and the recall gate — cannot shift.
+    """
+    missing = [j for j in dict.fromkeys(plane_ids) if (j, dim) not in _PLANE_CACHE]
+    if missing:
+        row = spark.range(1).select(
+            *[_plane_hof(j, dim).alias(f"p{j}") for j in missing]
+        ).head()
+        for j in missing:
+            _PLANE_CACHE[(j, dim)] = [float(x) for x in row[f"p{j}"]]
+    return [_PLANE_CACHE[(j, dim)] for j in plane_ids]
+
+
 def hyperplane_signature(
-    vec: Column | str, num_planes: int = 8, dim: int = 64, plane_offset: int = 0
+    vec: Column | str,
+    num_planes: int = 8,
+    dim: int = 64,
+    plane_offset: int = 0,
+    planes: list[list[float]] | None = None,
 ) -> Column:
     """LSH bucket id: sign bits of dot products with deterministic planes.
 
@@ -80,16 +136,29 @@ def hyperplane_signature(
     decorrelates components, giving ~iid uniform(−1,1) planes. Returns a
     bit-string like '01101001'. ``plane_offset`` shifts the plane index
     range so bands draw disjoint plane sets.
+
+    Pass ``planes`` (from :func:`materialize_planes`, engine-evaluated so
+    values are identical) to build the signature from plain float
+    literals instead of per-coefficient sin trees — same result, ~10×
+    cheaper plan construction, the difference between a 35 s and a 3 s
+    launch for the 16-band variant.
     """
     v = _as_double(vec)
-    bits = []
-    for j in range(plane_offset, plane_offset + num_planes):
-        comps = []
-        for i in range(dim):
-            s = F.sin(F.lit(float(j * 1009 + i))) * F.lit(43758.5453)
-            comps.append((s - F.floor(s)) * 2.0 - 1.0)
-        plane = F.array(*comps)
-        bits.append(F.when(dot(v, plane) > 0, F.lit("1")).otherwise(F.lit("0")))
+    if planes is None:
+        plane_cols = [
+            F.array(*[_plane_component(j, i) for i in range(dim)])
+            for j in range(plane_offset, plane_offset + num_planes)
+        ]
+    else:
+        assert len(planes) == num_planes
+        # one Literal node per plane (F.lit on a python list), not a
+        # dim-wide CreateArray tree — keeps the full banded signature at
+        # ~10 nodes per plane
+        plane_cols = [F.lit([float(x) for x in p]) for p in planes]
+    bits = [
+        F.when(dot(v, plane) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for plane in plane_cols
+    ]
     return F.concat(*bits)
 
 
@@ -141,11 +210,14 @@ def lsh_similar_pairs(
     so the 3-column distinct is exact). tests/test_llm_ops.py pins the
     measured recall vs brute_force_pairs.
     """
+    all_planes = materialize_planes(
+        corpus.sparkSession, list(range(num_bands * num_planes)), dim
+    )
     if num_bands == 1:
         tagged = corpus.select(
             F.col(id_col).alias("vid"),
             _as_double(vec_col).alias("v"),
-            hyperplane_signature(vec_col, num_planes, dim).alias("sig"),
+            hyperplane_signature(vec_col, num_planes, dim, planes=all_planes).alias("sig"),
         )
         return tagged.groupBy("sig").applyInPandas(
             lambda pdf: _pairs_within(pdf, threshold), _PAIR_SCHEMA
@@ -155,7 +227,11 @@ def lsh_similar_pairs(
             F.struct(
                 F.lit(b).alias("band"),
                 hyperplane_signature(
-                    vec_col, num_planes, dim, plane_offset=b * num_planes
+                    vec_col,
+                    num_planes,
+                    dim,
+                    plane_offset=b * num_planes,
+                    planes=all_planes[b * num_planes : (b + 1) * num_planes],
                 ).alias("sig"),
             )
             for b in range(num_bands)

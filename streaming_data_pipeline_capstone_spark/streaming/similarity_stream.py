@@ -23,6 +23,7 @@ from streaming_data_pipeline_capstone_spark.operators.similarity import (
     _as_double,
     cosine,
     hyperplane_signature,
+    materialize_planes,
 )
 from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
     read_index,
@@ -42,10 +43,13 @@ def _merge_batch(
     dim: int,
 ) -> None:
     spark = batch.sparkSession
+    # Engine-evaluated once, process-cached — signatures from float
+    # literals, so per-micro-batch plan construction stays cheap.
+    planes = materialize_planes(spark, list(range(num_planes)), dim)
     tagged_new = batch.select(
         F.col(id_col).alias("vid"),
         _as_double(vec_col).alias("v"),
-        hyperplane_signature(vec_col, num_planes, dim).alias("sig"),
+        hyperplane_signature(vec_col, num_planes, dim, planes=planes).alias("sig"),
     ).persist()
 
     try:

@@ -253,3 +253,26 @@ def test_lsh_banded_pairs_recall_vs_bruteforce(spark, sf_oracle):
     recall = len(got & truth) / len(truth)
     assert recall >= TARGET, (recall, len(got), len(truth))
     assert not (got - truth), f"false positives escaped exact verification: {got - truth}"
+
+
+def test_materialized_planes_bit_equal_inline(spark):
+    """The launch-cost fix (materialize_planes → literal planes) must not
+    move a single plane coefficient: the HOF-evaluated constants have to
+    be bit-identical to the original inline sin trees, else bucket
+    membership — and the oracle hashes — could silently shift."""
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        _plane_component,
+        materialize_planes,
+    )
+
+    dim = 64
+    js = [0, 7, 63]  # first, mid-band, last plane of the banded config
+    got = materialize_planes(spark, js, dim)
+    row = spark.range(1).select(
+        *[
+            F.array(*[_plane_component(j, i) for i in range(dim)]).alias(f"p{j}")
+            for j in js
+        ]
+    ).head()
+    for j, plane in zip(js, got):
+        assert plane == [float(x) for x in row[f"p{j}"]], f"plane {j} drifted"
