@@ -94,6 +94,28 @@ def _state_rows(progress) -> int:
     return sum(op.get("numRowsTotal", 0) for op in ops)
 
 
+def _log_state_size(progress, label: str) -> dict:
+    """Surface the RocksDB store SIZE (not just row count) from the query
+    progress — the metric the blocked transformWithState soak leg would
+    have tracked (round-3 ask #8 fallback; protobuf install verified
+    impossible: no network in this container). Returns the aggregate and
+    prints it so the soak run leaves a size trail in the test log."""
+    ops = (progress or {}).get("stateOperators") or []
+    agg = {
+        "numRowsTotal": sum(op.get("numRowsTotal", 0) for op in ops),
+        "stateMemoryBytes": sum(op.get("memoryUsedBytes", 0) for op in ops),
+        "rocksdbSstFileSize": sum(
+            int(op.get("customMetrics", {}).get("rocksdbSstFileSize", 0)) for op in ops
+        ),
+        "rocksdbTotalMemoryUsage": sum(
+            int(op.get("customMetrics", {}).get("rocksdbTotalMemoryUsage", 0))
+            for op in ops
+        ),
+    }
+    print(f"\n[soak:{label}] state-store size: {agg}")
+    return agg
+
+
 def test_rocksdb_soak_last_k_100k_keys_restart(spark, tmpdir, rocksdb):
     replay = f"{tmpdir}/replay"
     _write_chunk(spark, replay, 0, minute=0)
@@ -106,11 +128,15 @@ def test_rocksdb_soak_last_k_100k_keys_restart(spark, tmpdir, rocksdb):
 
     p1 = _run(spark, replay, lastk, f"{tmpdir}/last_out1", f"{tmpdir}/last_ckpt", "update")
     assert _state_rows(p1) == N_KEYS, p1  # one state row per key, all keys live
+    size1 = _log_state_size(p1, "last_k run1")
+    # the 100k-key store must report real bytes, not a zeroed metric
+    assert size1["rocksdbTotalMemoryUsage"] > 0 or size1["stateMemoryBytes"] > 0, p1
 
     # restart: one new chunk touching 1% of keys
     _write_chunk(spark, replay, 2, minute=20, every=SAMPLE_EVERY)
     p2 = _run(spark, replay, lastk, f"{tmpdir}/last_out2", f"{tmpdir}/last_ckpt", "update")
     assert _state_rows(p2) == N_KEYS, p2  # untouched keys still in the store
+    _log_state_size(p2, "last_k run2")
 
     out2 = spark.read.parquet(f"{tmpdir}/last_out2")
     # only the sampled keys re-emit, each with its full restored top-3
@@ -136,6 +162,8 @@ def test_rocksdb_soak_gap_fill_100k_keys_restart(spark, tmpdir, rocksdb):
 
     p1 = _run(spark, replay, gapfill, f"{tmpdir}/gap_out1", f"{tmpdir}/gap_ckpt", "append")
     assert _state_rows(p1) == N_KEYS, p1
+    size1 = _log_state_size(p1, "gap_fill run1")
+    assert size1["rocksdbTotalMemoryUsage"] > 0 or size1["stateMemoryBytes"] > 0, p1
 
     out1 = spark.read.parquet(f"{tmpdir}/gap_out1")
     # per key: t0 real + (t10 real + one interpolated point at t5)
@@ -147,6 +175,7 @@ def test_rocksdb_soak_gap_fill_100k_keys_restart(spark, tmpdir, rocksdb):
     _write_chunk(spark, replay, 2, minute=20, every=SAMPLE_EVERY)
     p2 = _run(spark, replay, gapfill, f"{tmpdir}/gap_out2", f"{tmpdir}/gap_ckpt", "append")
     assert _state_rows(p2) == N_KEYS, p2
+    _log_state_size(p2, "gap_fill run2")
 
     out2 = spark.read.parquet(f"{tmpdir}/gap_out2")
     n_sample = N_KEYS // SAMPLE_EVERY
