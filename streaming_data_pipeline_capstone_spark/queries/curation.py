@@ -283,3 +283,217 @@ def quality_filter_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "doc_id", reason.alias("reason"), (reason == "ok").alias("keep")
     )
+
+
+# -- PII scrub ----------------------------------------------------------------
+# Redaction is a standard pretraining-curation pass (emails/phones out of
+# the corpus before training). The synthetic documents contain no PII, so
+# the query PLANTS deterministic PII in-flight — identically in both
+# engines (doc_id % 7 gets an email, % 11 a phone) — then counts and
+# scrubs it; the oracle therefore verifies the regex/replace machinery on
+# known-positive rows, not a vacuous all-zeros corpus. Regexes stay in
+# the Java∩RE2 common syntax (no lookarounds, no backrefs) so both
+# engines match identical spans. Pure per-row expressions: zero shuffles.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9 ()-]{5,}[0-9]"
+
+
+@register(
+    "curation_pii_scrub",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text ||
+               CASE WHEN doc_id % 7 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0
+                    THEN ' call +1 555 0' || CAST(doc_id % 100 AS VARCHAR) || ' 4242'
+                    ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           length(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                 '{_PHONE_RE}', '<PHONE>', 'g')) AS n_chars_scrubbed
+    FROM aug
+    """,
+)
+def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call +1 555 0"),
+                    (F.col("doc_id") % 100).cast("string"),
+                    F.lit(" 4242"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return aug.select(
+        "doc_id",
+        # idx=0 (whole match): Spark defaults to group 1 and errors on
+        # group-less patterns; DuckDB defaults to group 0
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.length(scrubbed).alias("n_chars_scrubbed"),
+    )
+
+
+# -- repetition profile (Gopher-style) ----------------------------------------
+# The Gopher/MassiveText repetition signals the round-2 gopher query did
+# not cover: most-frequent-token share and duplicate token/bigram
+# fractions. Token stats take two doc_id-keyed hash aggregations
+# (map-side combined, skew-bounded by per-doc token counts); bigram stats
+# are pure per-row array expressions joined back on doc_id. Every shuffle
+# key is doc_id — spreads at any corpus size.
+@register(
+    "text_repetition_profile",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM t),
+    c AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok),
+    ts AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct,
+             round(CAST(max(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_token_frac,
+             round(1.0 - CAST(count(*) AS DOUBLE) / SUM(cnt), 6) AS dup_token_frac
+      FROM c GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+             greatest(len(t) - 1, 0) AS n_bigrams,
+             CASE WHEN len(t) >= 2 THEN len(list_distinct(
+               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+               ELSE 0 END AS n_bigrams_distinct
+      FROM t
+    )
+    SELECT ts.doc_id, n_tokens, n_distinct, top_token_frac, dup_token_frac,
+           CASE WHEN n_bigrams > 0
+                THEN round(1.0 - CAST(n_bigrams_distinct AS DOUBLE) / n_bigrams, 6)
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM ts JOIN bg USING (doc_id)
+    """,
+)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    with_t = docs.select("doc_id", tokens("text").alias("t"))
+    c = (
+        with_t.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ts = c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias("top_token_frac"),
+        F.round(F.lit(1.0) - F.count("*").cast("double") / F.sum("cnt"), 6).alias(
+            "dup_token_frac"
+        ),
+    )
+    t = F.col("t")
+    bigrams_full = F.transform(t, lambda x, i: F.array_join(F.slice(t, i + 1, 2), " "))
+    bigrams = F.slice(bigrams_full, F.lit(1), F.greatest(F.size(t) - 1, F.lit(0)))
+    bg = with_t.select(
+        "doc_id",
+        F.greatest(F.size(t) - 1, F.lit(0)).alias("n_bigrams"),
+        F.when(F.size(t) >= 2, F.size(F.array_distinct(bigrams)))
+        .otherwise(F.lit(0))
+        .alias("n_bigrams_distinct"),
+    )
+    return ts.join(bg, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_token_frac",
+        "dup_token_frac",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(
+                F.lit(1.0)
+                - F.col("n_bigrams_distinct").cast("double") / F.col("n_bigrams"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+
+
+# -- token-budget sequence packing --------------------------------------------
+# Training pipelines pack documents into fixed token budgets (sequence
+# length) before batching. The distributed-friendly form is
+# PARTITION-LOCAL packing — here per language, in doc_id order: a doc
+# joins the bin where its exclusive cumulative token count falls
+# (bins may overflow by one straddling doc, the standard streaming-pack
+# trade). One exchange for the per-lang window, one for the (lang, bin)
+# rollup; no global ordering anywhere, so the plan is identical at 100 TB
+# with shards as the partition key.
+_PACK_BUDGET = 512
+
+
+@register(
+    "pack_token_budget",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, lang, n_tok,
+             CAST(floor(coalesce(SUM(n_tok) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+      FROM t
+    )
+    SELECT lang, bin_id,
+           count(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM w GROUP BY lang, bin_id
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", F.size(tokens("text")).alias("n_tok"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    binned = t.withColumn(
+        "bin_id", F.floor(cum_excl / _PACK_BUDGET).cast("bigint")
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("tok_total"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

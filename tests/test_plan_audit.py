@@ -53,6 +53,7 @@ SHUFFLE_BUDGET = {
     "agg_pricing_summary": 1,
     "agg_rollup_status_priority": 1,
     "agg_stats_lineitem": 1,
+    "curation_pii_scrub": 0,  # plant + count + scrub: pure per-row regex exprs
     "decontam_ngram_overlap": 2,  # eval-gram distinct + per-doc count; eval side broadcast
     "decontam_ngram_overlap_w8": 2,  # same plan at the published 8-gram width
     "dedup_clusters": 0,  # iterative; plan truncated by localCheckpoint
@@ -81,6 +82,7 @@ SHUFFLE_BUDGET = {
     "ml_score_stub": 0,
     "multimodal_binary_meta": 0,
     "multimodal_extract_features": 0,
+    "pack_token_budget": 1,  # per-lang window; AQE reuses the partitioning for the rollup
     "pipeline_predict_full": 1,
     "pipeline_predict_trained": 1,  # one exchange on user_id serves lag+lead
     "pipeline_preprocess_full": 0,
@@ -119,6 +121,7 @@ SHUFFLE_BUDGET = {
     "text_fingerprint": 0,
     "text_idf_profile": 3,  # token-distinct, vocab df, per-doc rollup
     "text_quality_gopher": 2,  # token/bigram counts + per-doc rollup, both keyed on doc_id
+    "text_repetition_profile": 2,  # (doc,tok) counts + per-doc rollup; bigram side joins broadcast
     "text_lang_id": 0,
     "text_stats": 0,
     "text_token_rolling": 0,
