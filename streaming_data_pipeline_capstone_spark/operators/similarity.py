@@ -361,23 +361,30 @@ def lloyd_kmeans_centroids(
     vec_col: str = "v",
 ) -> list[list[float]]:
     """Train k-means; returns the final centroids (k×dim model metadata)."""
-    init_rows = vecs.orderBy(id_col).limit(k).select(vec_col).collect()
-    centroids = [[float(x) for x in r[0]] for r in init_rows]
-    for _ in range(iters):
-        assigned = vecs.select(
-            assign_cells(F.col(vec_col), centroids).alias("cell"),
-            F.posexplode(vec_col).alias("idx", "x"),
-        )
-        means = (
-            assigned.groupBy("cell", "idx")
-            .agg(F.round(F.avg("x"), 6).alias("val"))
-            .collect()
-        )
-        nxt = [list(c) for c in centroids]  # empty cells keep prev centroid
-        for r in means:
-            nxt[r["cell"]][r["idx"]] = r["val"]
-        centroids = nxt
-    return centroids
+    # every iteration scans the corpus once; persist so rounds 2..n read
+    # the decoded/cast vectors from block storage instead of re-running
+    # the parquet scan + cast pipeline
+    vecs = vecs.persist()
+    try:
+        init_rows = vecs.orderBy(id_col).limit(k).select(vec_col).collect()
+        centroids = [[float(x) for x in r[0]] for r in init_rows]
+        for _ in range(iters):
+            assigned = vecs.select(
+                assign_cells(F.col(vec_col), centroids).alias("cell"),
+                F.posexplode(vec_col).alias("idx", "x"),
+            )
+            means = (
+                assigned.groupBy("cell", "idx")
+                .agg(F.round(F.avg("x"), 6).alias("val"))
+                .collect()
+            )
+            nxt = [list(c) for c in centroids]  # empty cells keep prev centroid
+            for r in means:
+                nxt[r["cell"]][r["idx"]] = r["val"]
+            centroids = nxt
+        return centroids
+    finally:
+        vecs.unpersist()
 
 
 # -- product quantization (PQ) ------------------------------------------------
@@ -416,6 +423,7 @@ def pq_train(
     subs*(iters+1) to iters+1 (measured 2x wall-clock on the PQ queries,
     which pay training on every launch).
     """
+    vecs = vecs.persist()  # same scan-reuse as lloyd_kmeans_centroids
     init_rows = vecs.orderBy(id_col).limit(k).select(vec_col).collect()
     books = [
         [[float(x) for x in r[0][s * sub_dim : (s + 1) * sub_dim]] for r in init_rows]
@@ -446,6 +454,7 @@ def pq_train(
         for r in means:
             nxt[r["sub"]][r["cell"]][r["idx"]] = r["val"]
         books = nxt
+    vecs.unpersist()
     return books
 
 
