@@ -285,6 +285,64 @@ def quality_filter_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- temperature-rebalanced mixture sampling ----------------------------------
+# The standard multilingual pretraining mix (XLM-R / mT5 style): sample
+# language l with rate ∝ p_l^(α−1), α<1, normalized so the RAREST
+# language keeps everything — dominant languages downsample, tail
+# languages survive. Unlike mixture_sample_by_lang's fixed per-bucket
+# rates, the rates here are DATA-DEPENDENT (derived from corpus counts),
+# so the query exercises the two-pass shape: tiny per-lang aggregate →
+# rate computation on the language-cardinality frame (single partition by
+# nature — it's model metadata, not data) → broadcast back over the
+# corpus for the keep decision. Cross-engine determinism: rates round to
+# 6 dp then quantize to an integer threshold in a 2^20 hash space, so the
+# keep decision is exact integer comparison in both engines.
+_TEMP_ALPHA = 0.3
+
+
+@register(
+    "mixture_temperature_sample",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    r0 AS (
+      SELECT lang, n_docs,
+             pow(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), {_TEMP_ALPHA - 1.0}) AS w
+      FROM c
+    ),
+    r AS (SELECT lang, n_docs, round(w / MAX(w) OVER (), 6) AS rate FROM r0),
+    t AS (SELECT lang, n_docs, rate,
+                 CAST(floor(rate * {_MIX_SPACE}) AS BIGINT) AS thr FROM r)
+    SELECT d.lang, t.n_docs, t.rate,
+           CAST(coalesce(SUM(CASE WHEN (d.doc_id * {_MIX_MULT}) % {_MIX_SPACE} < t.thr
+                                  THEN 1 END), 0) AS BIGINT) AS n_kept
+    FROM documents d JOIN t USING (lang)
+    GROUP BY d.lang, t.n_docs, t.rate
+    """,
+)
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    # single-partition window over the language-cardinality frame: a few
+    # rows of model metadata, never data-sized
+    wall = Window.partitionBy()
+    p = F.col("n_docs").cast("double") / F.sum("n_docs").over(wall)
+    weight = F.pow(p, F.lit(_TEMP_ALPHA - 1.0))
+    rates = counts.select(
+        "lang",
+        "n_docs",
+        F.round(weight / F.max(weight).over(wall), 6).alias("rate"),
+    ).withColumn("thr", F.floor(F.col("rate") * _MIX_SPACE).cast("bigint"))
+    kept = (F.col("doc_id") * _MIX_MULT) % _MIX_SPACE < F.col("thr")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_docs", "rate")
+        .agg(F.coalesce(F.sum(F.when(kept, 1)), F.lit(0)).alias("n_kept"))
+        .select("lang", "n_docs", "rate", "n_kept")
+    )
+
+
 # -- PII scrub ----------------------------------------------------------------
 # Redaction is a standard pretraining-curation pass (emails/phones out of
 # the corpus before training). The synthetic documents contain no PII, so

@@ -79,6 +79,7 @@ SHUFFLE_BUDGET = {
     "join_semi_high_value": 0,
     "join_topk_orders": 1,
     "mixture_sample_by_lang": 1,
+    "mixture_temperature_sample": 3,  # lang counts + metadata window + final rollup; corpus side broadcast-joined
     "ml_score_stub": 0,
     "multimodal_binary_meta": 0,
     "multimodal_extract_features": 0,
