@@ -339,7 +339,10 @@ def brute_force_pairs(
 
 
 def _sq_dist_to(vec_col: Column, centroid: list[float]) -> Column:
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    # one array Literal, not a dim-wide CreateArray of scalar literals:
+    # assign_cells is rebuilt every Lloyd iteration, so plan-construction
+    # cost scales with iters*k*dim unless centroids enter as single nodes
+    lit = F.lit([float(x) for x in centroid])
     return F.aggregate(
         F.zip_with(vec_col, lit, lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
@@ -480,6 +483,6 @@ def pq_adc_score(
             for c in book
         ]
         total = total + F.element_at(
-            F.array(*[F.lit(d) for d in table]), code_cols[s].cast("int") + 1
+            F.lit([float(d) for d in table]), code_cols[s].cast("int") + 1
         )
     return total
