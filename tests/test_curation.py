@@ -7,11 +7,16 @@ from __future__ import annotations
 from streaming_data_pipeline_capstone_spark.queries.curation import (
     _EVAL_MOD,
     _LANG_ALLOW,
+    _PACK_BUDGET,
+    curation_pii_scrub,
     decontam_ngram_overlap,
     decontam_ngram_overlap_w8,
     mixture_sample_by_lang,
+    mixture_temperature_sample,
+    pack_token_budget,
     quality_filter_composite,
     text_idf_profile,
+    text_repetition_profile,
 )
 
 
@@ -75,3 +80,77 @@ def test_idf_profile_bounds(spark, sf_smoke):
     for r in rows:
         assert 0 <= r["n_rare_tokens"] <= r["n_distinct_tokens"]
         assert 0.0 <= r["frac_common"] <= 1.0
+
+
+def test_pii_scrub_plants_and_redacts(spark, sf_smoke):
+    """Every doc_id % 7 carries exactly one planted email (% 11 one phone);
+    scrubbing must shrink the planted docs and leave the rest unchanged in
+    length (the corpus itself contains no PII)."""
+    import pyspark.sql.functions as F
+
+    rows = {r["doc_id"]: r for r in curation_pii_scrub(spark, sf_smoke).collect()}
+    raw_len = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(sf_smoke + "/documents.parquet")
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+    }
+    assert rows
+    for doc_id, r in rows.items():
+        assert r["n_emails"] == (1 if doc_id % 7 == 0 else 0)
+        assert r["n_phones"] == (1 if doc_id % 11 == 0 else 0)
+        if doc_id % 7 != 0 and doc_id % 11 != 0:
+            # nothing planted, nothing matched → scrubbed text is the raw text
+            assert r["n_chars_scrubbed"] == raw_len[doc_id]
+
+
+def test_repetition_profile_bounds(spark, sf_smoke):
+    rows = text_repetition_profile(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_distinct"] <= r["n_tokens"]
+        # the top token accounts for at least 1/n_distinct of the mass
+        assert r["top_token_frac"] >= round(1.0 / r["n_distinct"], 6) - 1e-9
+        assert 0.0 <= r["dup_token_frac"] < 1.0
+        assert 0.0 <= r["dup_bigram_frac"] <= 1.0
+
+
+def test_pack_token_budget_partition(spark, sf_smoke):
+    """Packing must be a partition of the corpus: every doc in exactly one
+    (lang, bin), bins contiguous per lang starting at 0, and the greedy
+    invariant — bin k+1 only opens once the running total has crossed
+    (k+1)·budget. (An INDIVIDUAL bin may end under budget when a straddling
+    doc from the previous bin overshot into its range; the cumulative form
+    is the exact consequence of bin = floor(cum_excl / budget).)"""
+    bins = pack_token_budget(spark, sf_smoke).collect()
+    docs = spark.read.parquet(sf_smoke + "/documents.parquet")
+    assert sum(r["n_docs"] for r in bins) == docs.count()
+    by_lang: dict[str, list] = {}
+    for r in bins:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["bin_id"])
+        assert [r["bin_id"] for r in rs] == list(range(len(rs))), lang
+        # doc_id ranges of consecutive bins must not interleave
+        for a, b in zip(rs, rs[1:]):
+            assert a["last_doc"] < b["first_doc"], lang
+        running = 0
+        for r in rs[:-1]:  # cumulative total crossed each bin boundary
+            running += r["tok_total"]
+            assert running >= (r["bin_id"] + 1) * _PACK_BUDGET, (lang, r, running)
+
+
+def test_temperature_sampling_monotone(spark, sf_smoke):
+    """Rarest language keeps everything (rate 1.0); rates are monotone
+    non-increasing in language frequency; kept counts respect the rates
+    within hash-sampling tolerance."""
+    rows = sorted(
+        mixture_temperature_sample(spark, sf_smoke).collect(),
+        key=lambda r: r["n_docs"],
+    )
+    assert rows
+    assert rows[0]["rate"] == 1.0 and rows[0]["n_kept"] == rows[0]["n_docs"]
+    for a, b in zip(rows, rows[1:]):
+        assert a["rate"] >= b["rate"] - 1e-9
+    for r in rows:
+        assert 0 < r["n_kept"] <= r["n_docs"]
