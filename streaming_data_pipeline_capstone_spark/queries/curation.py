@@ -343,6 +343,49 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- deterministic corpus shuffle/shard -----------------------------------------
+# The last pre-training step: a reproducible pseudo-random permutation of
+# the corpus, materialized as shard assignments plus a within-shard
+# position. Shard and order both derive from the same multiplicative
+# integer hash (no RNG state), so any engine reproduces the exact
+# permutation. One exchange keyed on shard; the within-shard row_number
+# is a per-shard sort — at 100 TB pick the shard count so a shard sorts
+# in one task (or write shards with sortWithinPartitions and let file
+# order carry the permutation), which is the standard sharded-shuffle
+# layout for training data.
+_N_SHARDS = 8
+
+
+@register(
+    "corpus_shard_shuffle",
+    f"""
+    WITH h AS (
+      SELECT doc_id, (doc_id * {_MIX_MULT}) % {_MIX_SPACE} AS hkey
+      FROM documents
+    )
+    SELECT doc_id, hkey,
+           CAST(hkey % {_N_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hkey % {_N_SHARDS}
+                                   ORDER BY hkey, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", ((F.col("doc_id") * _MIX_MULT) % _MIX_SPACE).alias("hkey")
+    ).withColumn("shard", (F.col("hkey") % _N_SHARDS).cast("bigint"))
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return h.select(
+        "doc_id",
+        "hkey",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
 # -- PII scrub ----------------------------------------------------------------
 # Redaction is a standard pretraining-curation pass (emails/phones out of
 # the corpus before training). The synthetic documents contain no PII, so

@@ -7,7 +7,9 @@ from __future__ import annotations
 from streaming_data_pipeline_capstone_spark.queries.curation import (
     _EVAL_MOD,
     _LANG_ALLOW,
+    _N_SHARDS,
     _PACK_BUDGET,
+    corpus_shard_shuffle,
     curation_pii_scrub,
     decontam_ngram_overlap,
     decontam_ngram_overlap_w8,
@@ -138,6 +140,28 @@ def test_pack_token_budget_partition(spark, sf_smoke):
         for r in rs[:-1]:  # cumulative total crossed each bin boundary
             running += r["tok_total"]
             assert running >= (r["bin_id"] + 1) * _PACK_BUDGET, (lang, r, running)
+
+
+def test_shard_shuffle_is_permutation(spark, sf_smoke):
+    """Shard assignment must be a permutation: every doc exactly once,
+    positions contiguous 1..n per shard, order within a shard strictly
+    increasing in (hkey, doc_id), and identical across two runs (the
+    whole point — a REPRODUCIBLE shuffle)."""
+    rows = corpus_shard_shuffle(spark, sf_smoke).collect()
+    n_docs = spark.read.parquet(sf_smoke + "/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["shard"] < _N_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in rs] == list(range(1, len(rs) + 1)), shard
+        keys = [(r["hkey"], r["doc_id"]) for r in rs]
+        assert keys == sorted(keys), shard
+    again = {(r["doc_id"], r["shard"], r["pos"]) for r in corpus_shard_shuffle(spark, sf_smoke).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
 
 
 def test_temperature_sampling_monotone(spark, sf_smoke):

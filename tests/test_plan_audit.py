@@ -53,6 +53,7 @@ SHUFFLE_BUDGET = {
     "agg_pricing_summary": 1,
     "agg_rollup_status_priority": 1,
     "agg_stats_lineitem": 1,
+    "corpus_shard_shuffle": 1,  # one exchange on shard; per-shard rank
     "curation_pii_scrub": 0,  # plant + count + scrub: pure per-row regex exprs
     "decontam_ngram_overlap": 2,  # eval-gram distinct + per-doc count; eval side broadcast
     "decontam_ngram_overlap_w8": 2,  # same plan at the published 8-gram width
