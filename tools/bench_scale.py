@@ -177,6 +177,17 @@ def main() -> None:
         default=os.path.join(REPO, "BENCH_r04.json"),
         help="most recent driver bench artifact; ref leg is cross-checked against it",
     )
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of registry queries to bench "
+        "(default: headline suite + LLM-ops family). Use for runs where "
+        "part of the default suite is out of scope — e.g. the sf1->sf10 "
+        "decade excludes the fixed-band similarity configs, whose bucket "
+        "occupancy is a corpus-size knob (more planes per band at larger "
+        "corpora), so timing the sf0.1-tuned config at 100x answers a "
+        "question nobody ships",
+    )
     ap.add_argument("--leg", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--leg-out", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--names", default=None, help=argparse.SUPPRESS)
@@ -188,7 +199,7 @@ def main() -> None:
             json.dump(leg, fh)
         return
 
-    names = suite_names()
+    names = args.queries.split(",") if args.queries else suite_names()
     # A/B/A: ref, target, ref — fresh JVM each.
     ref1 = spawn_leg(args.ref_dir, names, "ref#1")
     target = spawn_leg(args.target_dir, names, "target")
@@ -232,11 +243,12 @@ def main() -> None:
             "outliers": outliers,
         }
 
+    target_label = os.path.basename(args.target_dir.rstrip("/")).lstrip(".")
     out = {
-        "metric": "bench_suite_warm_total_sf1",
+        "metric": f"bench_suite_warm_total_{target_label}",
         "value": target["warm_total"],
         "unit": "sec",
-        "sf": 1.0,
+        "sf": {"sf1": 1.0, "sf10": 10.0}.get(target_label, target_label),
         "data_ratio": args.data_ratio,
         "queries": target["queries"],
         "queries_cold": target["queries_cold"],

@@ -65,12 +65,22 @@ def scale_sql(con: duckdb.DuckDBPyConnection, table: str, select: str, out_dir: 
 
 
 def main() -> None:
+    global REPLICAS
     ap = argparse.ArgumentParser()
     default_out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1"
     )
     ap.add_argument("--out", default=default_out)
+    ap.add_argument(
+        "--replicas",
+        type=int,
+        default=REPLICAS,
+        help="replication factor over sf0.1 (10 -> sf1, 100 -> sf10); "
+        "token remap 'r<replica>' keeps cross-replica shingle overlap zero "
+        "for any count",
+    )
     args = ap.parse_args()
+    REPLICAS = args.replicas
     out = args.out
     os.makedirs(out, exist_ok=True)
 
