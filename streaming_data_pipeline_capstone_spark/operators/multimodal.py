@@ -119,13 +119,15 @@ def decode_bmp_pixels(buf: bytes):
 IMAGE_DECODE_SCHEMA = T.StructType(
     [
         T.StructField("checksum", T.StringType(), False),
-        T.StructField("width", T.IntegerType(), False),
-        T.StructField("height", T.IntegerType(), False),
-        T.StructField("channels", T.IntegerType(), False),
-        T.StructField("mean_rgb", T.ArrayType(T.DoubleType()), False),
+        # nullable: an undecodable payload yields a null summary row (the
+        # PERMISSIVE-reader contract), never a failed job
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("mean_rgb", T.ArrayType(T.DoubleType()), True),
         # RGB of the 4 corners (tl, tr, bl, br) — 12 ints; compact golden-
         # check surface without shipping the pixel tensor through a shuffle
-        T.StructField("corner_rgb", T.ArrayType(T.IntegerType()), False),
+        T.StructField("corner_rgb", T.ArrayType(T.IntegerType()), True),
     ]
 )
 
@@ -139,8 +141,10 @@ def decode_image(
     ``decode_bmp_pixels`` (no codec library needed); in production the
     same mapInPandas body swaps in PIL (``Image.open(io.BytesIO(p))``)
     for JPEG/PNG — this container ships no codecs, so those payloads
-    raise ValueError per-decoder and surface as nulls would in a
-    PERMISSIVE reader. Output is the compact per-image summary
+    surface as a null summary row (PERMISSIVE-reader semantics: the
+    ValueError is caught per payload, the checksum survives for
+    dead-lettering, and the job never fails on one corrupt blob).
+    Output is the compact per-image summary
     (dims + channel means + corner pixels), never the pixel tensor:
     payloads stay in the scan stage and nothing wide reaches a shuffle.
     """
@@ -156,7 +160,11 @@ def decode_image(
         for pdf in it:
             rows = []
             for p in pdf["p"]:
-                a = decode_bmp_pixels(bytes(p))
+                try:
+                    a = decode_bmp_pixels(bytes(p))
+                except ValueError:
+                    rows.append((None, None, None, None, None))
+                    continue
                 hh, ww = a.shape[0], a.shape[1]
                 corners = np.concatenate(
                     [a[0, 0], a[0, ww - 1], a[hh - 1, 0], a[hh - 1, ww - 1]]

@@ -141,7 +141,10 @@ def hyperplane_signature(
     values are identical) to build the signature from plain float
     literals instead of per-coefficient sin trees — same result, ~10×
     cheaper plan construction, the difference between a 35 s and a 3 s
-    launch for the 16-band variant.
+    launch for the 16-band variant. When ``planes`` is given it must
+    already be the ``num_planes`` planes for this band — i.e. the caller
+    slices ``materialize_planes`` output by ``plane_offset`` itself, and
+    ``plane_offset`` is NOT applied again here.
     """
     v = _as_double(vec)
     if planes is None:
@@ -150,7 +153,13 @@ def hyperplane_signature(
             for j in range(plane_offset, plane_offset + num_planes)
         ]
     else:
-        assert len(planes) == num_planes
+        if len(planes) != num_planes:
+            raise ValueError(
+                f"planes must contain exactly num_planes={num_planes} "
+                f"pre-sliced planes (got {len(planes)}); plane_offset is "
+                "not applied when planes is supplied — slice the "
+                "materialize_planes output before passing it"
+            )
         # one Literal node per plane (F.lit on a python list), not a
         # dim-wide CreateArray tree — keeps the full banded signature at
         # ~10 nodes per plane
@@ -427,38 +436,40 @@ def pq_train(
     which pay training on every launch).
     """
     vecs = vecs.persist()  # same scan-reuse as lloyd_kmeans_centroids
-    init_rows = vecs.orderBy(id_col).limit(k).select(vec_col).collect()
-    books = [
-        [[float(x) for x in r[0][s * sub_dim : (s + 1) * sub_dim]] for r in init_rows]
-        for s in range(subs)
-    ]
-    for _ in range(iters):
-        sub_structs = []
-        for s, book in enumerate(books):
-            sl = F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
-            sub_structs.append(
-                F.struct(
-                    F.lit(s).alias("sub"),
-                    assign_cells(sl, book).alias("cell"),
-                    sl.alias("sv"),
+    try:
+        init_rows = vecs.orderBy(id_col).limit(k).select(vec_col).collect()
+        books = [
+            [[float(x) for x in r[0][s * sub_dim : (s + 1) * sub_dim]] for r in init_rows]
+            for s in range(subs)
+        ]
+        for _ in range(iters):
+            sub_structs = []
+            for s, book in enumerate(books):
+                sl = F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+                sub_structs.append(
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        assign_cells(sl, book).alias("cell"),
+                        sl.alias("sv"),
+                    )
                 )
+            exploded = vecs.select(F.explode(F.array(*sub_structs)).alias("e")).select(
+                F.col("e.sub").alias("sub"),
+                F.col("e.cell").alias("cell"),
+                F.posexplode("e.sv").alias("idx", "x"),
             )
-        exploded = vecs.select(F.explode(F.array(*sub_structs)).alias("e")).select(
-            F.col("e.sub").alias("sub"),
-            F.col("e.cell").alias("cell"),
-            F.posexplode("e.sv").alias("idx", "x"),
-        )
-        means = (
-            exploded.groupBy("sub", "cell", "idx")
-            .agg(F.round(F.avg("x"), 6).alias("val"))
-            .collect()
-        )
-        nxt = [[list(c) for c in book] for book in books]  # empty cells keep prev
-        for r in means:
-            nxt[r["sub"]][r["cell"]][r["idx"]] = r["val"]
-        books = nxt
-    vecs.unpersist()
-    return books
+            means = (
+                exploded.groupBy("sub", "cell", "idx")
+                .agg(F.round(F.avg("x"), 6).alias("val"))
+                .collect()
+            )
+            nxt = [[list(c) for c in book] for book in books]  # empty cells keep prev
+            for r in means:
+                nxt[r["sub"]][r["cell"]][r["idx"]] = r["val"]
+            books = nxt
+        return books
+    finally:
+        vecs.unpersist()
 
 
 def pq_encode_cols(vec_col: Column, books: list[list[list[float]]], sub_dim: int) -> list[Column]:

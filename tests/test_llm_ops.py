@@ -138,6 +138,26 @@ def test_decode_image_rejects_non_bmp():
         decode_bmp_pixels(b"\x89PNG not a bmp" + b"\0" * 64)
 
 
+def test_decode_image_permissive_nulls(spark):
+    """A corrupt/non-BMP payload yields a null summary row (checksum kept
+    for dead-lettering) instead of failing the job — the PERMISSIVE-reader
+    contract the docstring promises (ADVICE r5 #1)."""
+    from streaming_data_pipeline_capstone_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    grid = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    good = _make_bmp(grid)
+    bad = b"\x89PNG definitely not a bmp" + b"\0" * 64
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad))], "img_id int, payload binary"
+    )
+    rows = {r.img_id: r for r in decode_image(df, id_cols=("img_id",)).collect()}
+    assert rows[1].width == 2 and rows[1].height == 2
+    assert rows[2].width is None and rows[2].mean_rgb is None
+    assert rows[2].checksum is not None  # dead-letter key survives
+
+
 def test_multimodal_video_stub_marked(spark):
     import pytest
 

@@ -18,10 +18,14 @@ Two tables need more than key offsets to avoid DEGENERATE scaling:
 - documents: a verbatim 10x copy would give every doc 9 exact clones,
   blowing every MinHash/SimHash bucket up ~10x and the pair output up
   ~100x — that benches the degenerate corpus, not the 10x corpus. For
-  replica r>0 every whitespace token is prefixed with ``r{r}`` — an
+  replica r>0 every whitespace token is prefixed with ``r{r}_`` — an
   isomorphic token-space remap, so intra-replica duplicate/near-dup
   structure is EXACTLY preserved while cross-replica shingle overlap is
-  zero. n_chars is recomputed from the rewritten text.
+  zero. The ``_`` delimiter is load-bearing at replicas >= 11: an
+  undelimited ``r{r}`` prefix lets replica 1 map token ``0foo`` to
+  ``r10foo``, colliding with replica 10's remap of ``foo`` — the
+  delimiter makes the prefix prefix-free for any replica count.
+  n_chars is recomputed from the rewritten text.
 - embeddings: verbatim copies would make every vector its own 10-way
   exact tie in similarity queries. Replica r>0 gets seeded N(0, 0.02)
   noise per component (numpy, seed=r), preserving cluster structure
@@ -75,9 +79,10 @@ def main() -> None:
         "--replicas",
         type=int,
         default=REPLICAS,
-        help="replication factor over sf0.1 (10 -> sf1, 100 -> sf10); "
-        "token remap 'r<replica>' keeps cross-replica shingle overlap zero "
-        "for any count",
+        help="replication factor over sf0.1 (10 -> sf1, 100 -> sf10, "
+        "1000 -> sf100); the delimited token remap 'r<replica>_' is "
+        "prefix-free, so cross-replica shingle overlap is zero for any "
+        "replica count (an undelimited prefix collides at replicas >= 11)",
     )
     args = ap.parse_args()
     REPLICAS = args.replicas
@@ -136,10 +141,10 @@ def main() -> None:
         "documents",
         f"doc_id + r*{STRIDE} AS doc_id, "
         "CASE WHEN r = 0 THEN text "
-        "ELSE regexp_replace(text, '([A-Za-z0-9_]+)', 'r' || r || '\\1', 'g') END AS text, "
+        "ELSE regexp_replace(text, '([A-Za-z0-9_]+)', 'r' || r || '_\\1', 'g') END AS text, "
         "lang, source, "
         "length(CASE WHEN r = 0 THEN text "
-        "ELSE regexp_replace(text, '([A-Za-z0-9_]+)', 'r' || r || '\\1', 'g') END) AS n_chars",
+        "ELSE regexp_replace(text, '([A-Za-z0-9_]+)', 'r' || r || '_\\1', 'g') END) AS n_chars",
         out,
     )
     con.close()
