@@ -59,6 +59,10 @@ LLMOPS_QUERIES = [
     "sim_pq_topk",           # PQ: train + encode + broadcast-ADC top-k
     "dedup_clusters",        # pointer-jumping connected components
     "dedup_keep_list",       # cluster -> representative keep/drop decision
+    # VERDICT r5 ask #1b: the IVF family, previously the only heavyweight
+    # ANN ops with zero scale decades
+    "sim_topk_ivf",          # hyperplane-cell IVF probe (no training)
+    "sim_topk_kmeans_ivf",   # trained IVF: Lloyd train + cell-pruned probe
 ]
 
 WARM_COLD_TOL = 1.25  # per-query warm may exceed cold by noise, not by 25%
