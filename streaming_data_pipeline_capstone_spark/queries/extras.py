@@ -962,3 +962,165 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pq_adc_score(codes, query, books, _PQ_SUB_DIM), 6).alias("adc_dist"),
     )
     return scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
+
+
+# -- deployment-shape variants: FIXED (shipped) codebooks (VERDICT r5 ask #2)
+# The per-invocation-training queries above prove the training pipeline is
+# oracle-correct; these prove the shape a 100 TB pipeline actually runs —
+# codebooks/centroids are a model artifact trained once on a sample
+# (tools/train_codebooks.py over the sf0.01 embeddings), shipped as
+# constants (queries/codebooks.py), and applied everywhere. Encoding is
+# pure per-row expressions over literal codebooks (zero shuffles, zero
+# training jobs); ADC top-k is one scan + TakeOrderedAndProject; IVF probe
+# is a cell-pruned scan. The oracles inline the SAME literals via VALUES
+# CTEs, so the value-hash check covers the shipped artifact too (training
+# is 6-dp-rounded, so every literal's repr round-trips exactly into both
+# engines).
+from streaming_data_pipeline_capstone_spark.queries.codebooks import (  # noqa: E402
+    KMEANS_CENTROIDS,
+    PQ_BOOKS,
+)
+
+
+def _values_cents_cte(name: str, mat: list[list[float]]) -> str:
+    """CTE of literal centroids: ``name(cell, cv)``."""
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in row)}]::DOUBLE[])"
+        for i, row in enumerate(mat)
+    )
+    return f"{name}(cell, cv) AS (SELECT * FROM (VALUES {rows}) t(cell, cv))"
+
+
+def _pq_fixed_base_ctes() -> list[str]:
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    for s in range(_PQ_SUBS):
+        lo = s * _PQ_SUB_DIM + 1
+        ctes.append(
+            f"e{s} AS (SELECT vec_id, list_slice(v, {lo}, {lo + _PQ_SUB_DIM - 1}) AS v FROM e)"
+        )
+        ctes.append(_values_cents_cte(f"b{s}", PQ_BOOKS[s]))
+        ctes.append(_lloyd_assign_cte(f"s{s}_af", f"e{s}", f"b{s}", _PQ_SUB_DIM))
+    return ctes
+
+
+def _pq_encode_fixed_oracle() -> str:
+    ctes = _pq_fixed_base_ctes()
+    joins = " ".join(f"JOIN s{s}_af a{s} USING (vec_id)" for s in range(1, _PQ_SUBS))
+    cols = ", ".join(f"a{s}.cell AS c{s}" for s in range(_PQ_SUBS))
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT a0.vec_id, {cols} FROM s0_af a0 {joins}"
+
+
+def _pq_topk_fixed_oracle() -> str:
+    ctes = _pq_fixed_base_ctes()
+    for s in range(_PQ_SUBS):
+        lo = s * _PQ_SUB_DIM + 1
+        ctes.append(
+            f"q{s} AS (SELECT list_slice(v, {lo}, {lo + _PQ_SUB_DIM - 1}) AS qv "
+            "FROM e WHERE vec_id = 0)"
+        )
+        ctes.append(
+            f"""dt{s} AS (SELECT c.cell,
+                list_sum(list_transform(range(1, {_PQ_SUB_DIM}+1),
+                    i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d
+                FROM b{s} c, q{s} q)"""
+        )
+    joins = " ".join(
+        f"JOIN s{s}_af a{s} USING (vec_id)" for s in range(1, _PQ_SUBS)
+    ) + " " + " ".join(f"JOIN dt{s} ON a{s}.cell = dt{s}.cell" for s in range(_PQ_SUBS))
+    total = " + ".join(f"dt{s}.d" for s in range(_PQ_SUBS))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT a0.vec_id, round({total}, 6) AS adc_dist
+    FROM s0_af a0 {joins}
+    ORDER BY adc_dist ASC, vec_id ASC
+    LIMIT 10
+    """
+    )
+
+
+def _kmeans_ivf_fixed_oracle() -> str:
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        _values_cents_cte("cb", KMEANS_CENTROIDS),
+        _lloyd_assign_cte("af", "e", "cb", _EMB_DIM),
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+        f"""probe AS (SELECT cell FROM cb, q
+            ORDER BY list_cosine_similarity(cv, qv) DESC, cell ASC LIMIT {_NPROBE})""",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + """
+    SELECT af.vec_id, round(list_cosine_similarity(af.v, q.qv), 6) AS cosine_sim
+    FROM af JOIN probe USING (cell), q
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """
+    )
+
+
+def _double_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+
+@register("emb_pq_encode_fixed", _pq_encode_fixed_oracle())
+def emb_pq_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode against the shipped codebook: zero training jobs, zero
+    shuffles — the exact plan that compresses a 100 TB embedding corpus."""
+    from streaming_data_pipeline_capstone_spark.operators.similarity import pq_encode_cols
+
+    vecs = _double_vecs(spark, sf_dir)
+    return vecs.select("vec_id", *pq_encode_cols(F.col("v"), PQ_BOOKS, _PQ_SUB_DIM))
+
+
+@register("sim_pq_topk_fixed", _pq_topk_fixed_oracle())
+def sim_pq_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k against the shipped codebook: one-row query fetch, one
+    corpus scan, TakeOrderedAndProject — no training, no shuffles."""
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        pq_adc_score,
+        pq_encode_cols,
+    )
+
+    vecs = _double_vecs(spark, sf_dir)
+    query = [
+        float(x) for x in vecs.filter(F.col("vec_id") == 0).select("v").head()[0]
+    ]
+    codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
+    encoded = vecs.select("vec_id", *pq_encode_cols(F.col("v"), PQ_BOOKS, _PQ_SUB_DIM))
+    scored = encoded.select(
+        "vec_id",
+        F.round(pq_adc_score(codes, query, PQ_BOOKS, _PQ_SUB_DIM), 6).alias("adc_dist"),
+    )
+    return scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
+
+
+@register("sim_topk_kmeans_ivf_fixed", _kmeans_ivf_fixed_oracle())
+def sim_topk_kmeans_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against shipped centroids: assignment + cell-pruned scan,
+    no Lloyd jobs — the probe-side plan of a trained-once deployment."""
+    from streaming_data_pipeline_capstone_spark.operators.similarity import assign_cells
+
+    vecs = _double_vecs(spark, sf_dir)
+    cells = vecs.withColumn("cell", assign_cells(F.col("v"), KMEANS_CENTROIDS))
+    centroids_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(KMEANS_CENTROIDS)], "cell int, cv array<double>"
+    )
+    query = cells.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    probe_cells = (
+        centroids_df.crossJoin(F.broadcast(query))
+        .select("cell", cosine(F.col("cv"), F.col("qv")).alias("csim"))
+        .orderBy(F.desc("csim"), F.asc("cell"))
+        .limit(_NPROBE)
+        .select("cell")
+    )
+    probed = (
+        cells.join(F.broadcast(probe_cells), "cell")
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine_sim")
+        )
+    )
+    return probed.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)

@@ -243,6 +243,31 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_oracle):
     assert recall >= 0.3, (recall, pq_ids, exact_ids)
 
 
+def test_fixed_codebook_reproduces_training_at_sf001(spark, sf_oracle):
+    """The shipped codebook (queries/codebooks.py) was trained on the
+    sf0.01 embeddings, so at sf0.01 the fixed-codebook queries must
+    reproduce the per-invocation-trained ones EXACTLY — codes, ADC top-k
+    and IVF probe alike. Guards the generated artifact against drifting
+    from tools/train_codebooks.py's recipe (VERDICT r5 ask #2)."""
+    from streaming_data_pipeline_capstone_spark.queries.extras import (
+        emb_pq_encode,
+        emb_pq_encode_fixed,
+        sim_pq_topk,
+        sim_pq_topk_fixed,
+        sim_topk_kmeans_ivf,
+        sim_topk_kmeans_ivf_fixed,
+    )
+
+    for trained_fn, fixed_fn in [
+        (emb_pq_encode, emb_pq_encode_fixed),
+        (sim_pq_topk, sim_pq_topk_fixed),
+        (sim_topk_kmeans_ivf, sim_topk_kmeans_ivf_fixed),
+    ]:
+        trained = sorted(map(tuple, trained_fn(spark, sf_oracle).collect()))
+        fixed = sorted(map(tuple, fixed_fn(spark, sf_oracle).collect()))
+        assert trained == fixed, trained_fn.__name__
+
+
 def test_minhash_pre_dedup_kills_hot_bucket(spark):
     """The documented hot-bucket hazard (operators/dedup.py
     _bucket_pair_instances): N byte-identical docs share every LSH bucket,

@@ -63,6 +63,11 @@ LLMOPS_QUERIES = [
     # ANN ops with zero scale decades
     "sim_topk_ivf",          # hyperplane-cell IVF probe (no training)
     "sim_topk_kmeans_ivf",   # trained IVF: Lloyd train + cell-pruned probe
+    # VERDICT r5 ask #2: deployment-shape variants against the SHIPPED
+    # codebook (train-once / probe-many — what actually runs at 100 TB)
+    "emb_pq_encode_fixed",
+    "sim_pq_topk_fixed",
+    "sim_topk_kmeans_ivf_fixed",
 ]
 
 WARM_COLD_TOL = 1.25  # per-query warm may exceed cold by noise, not by 25%
