@@ -22,6 +22,8 @@ the queries over one scan of the corpus.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -160,15 +162,64 @@ def hyperplane_signature(
                 "not applied when planes is supplied — slice the "
                 "materialize_planes output before passing it"
             )
-        # one Literal node per plane (F.lit on a python list), not a
-        # dim-wide CreateArray tree — keeps the full banded signature at
-        # ~10 nodes per plane
-        plane_cols = [F.lit([float(x) for x in p]) for p in planes]
+        # one Literal node per plane + ONE transform over the plane
+        # matrix, not num_planes separate dot subtrees: the corpus-scaled
+        # banded config reaches hundreds of planes (7×66 at 200k vectors),
+        # so Column-tree size sets the launch cost. Arithmetic unchanged —
+        # dot() is the same left-to-right zip_with/aggregate fold per
+        # plane, and array_join of the per-plane bit chars equals the
+        # previous concat().
+        mat = F.array(*[F.lit([float(x) for x in p]) for p in planes])
+        dots = F.transform(mat, lambda pl: dot(v, pl))
+        return F.array_join(
+            F.transform(dots, lambda d: F.when(d > 0, F.lit("1")).otherwise(F.lit("0"))),
+            "",
+        )
     bits = [
         F.when(dot(v, plane) > 0, F.lit("1")).otherwise(F.lit("0"))
         for plane in plane_cols
     ]
     return F.concat(*bits)
+
+
+def banded_lsh_config(
+    n: int,
+    threshold: float = 0.4,
+    occ_target: int = 1250,
+    recall_target: float = 0.93,
+) -> tuple[int, int]:
+    """Corpus-scaled banded-LSH parameters: (planes_per_band, num_bands).
+
+    The two knobs trade against each other, so a fixed config only fits
+    one corpus size (VERDICT r5 ask #3):
+
+    - ``planes_per_band`` controls expected bucket occupancy n/2^planes.
+      Occupancy is what must stay bounded at scale — the in-bucket verify
+      is a GEMM, O(occ² · dim) per bucket, and a bucket must fit one
+      executor task. The rule holds occupancy at ``occ_target`` (the
+      sf1-proven value): planes = max(4, round(log2(n / occ_target))).
+    - ``num_bands`` then restores recall: a pair exactly at ``threshold``
+      collides per-band with probability p^planes (p = 1 − acos(t)/π for
+      hyperplane LSH), so bands = ceil(ln(1−R) / ln(1−p^planes)) gives
+      1−(1−p^planes)^bands ≥ R. Recall is a per-pair probability —
+      independent of corpus size — which is why it can be certified at a
+      small SF and holds at any n.
+
+    At the correctness gate's sf0.01 (and sf0.1 / sf1) the rule resolves
+    to the proven (4, 16); at sf10's 200k vectors it scales to (7, 66).
+    Asymptotics are the textbook LSH trade: per-band work n·occ (linear),
+    bands ∝ (n/occ)^(−log2 p), total n^(1−log2 p) ≈ n^1.67 at this
+    deliberately-low 0.4 threshold (p≈0.63). At real near-dup thresholds
+    the same rule is near-linear — e.g. t=0.9 has p≈0.86, bands grow
+    only as (n/occ)^0.22, total ≈ n^1.22 — and the knob's actual job at
+    100 TB is bounding bucket size so no task OOMs and no straggler
+    dominates, which it does for any n by construction.
+    """
+    p = 1.0 - math.acos(threshold) / math.pi
+    planes = max(4, round(math.log2(max(n, 1) / occ_target)))
+    per_band = p**planes
+    bands = max(1, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - per_band)))
+    return planes, bands
 
 
 def _pairs_within(pdf, threshold: float):
@@ -249,11 +300,23 @@ def lsh_similar_pairs(
     # materialize the double-cast vector BELOW the explode: band_structs
     # (the generator input) evaluates once per vector, and the projection
     # above the Generate only carries attributes — otherwise the cast
-    # re-runs per exploded band row (bands× the work)
+    # re-runs per exploded band row (bands× the work). The vector that
+    # RIDES the bands× explode + exchange is the raw (float32) column,
+    # not the double cast: half the shuffle bytes, and the in-bucket
+    # GEMM's float32→float64 widening is exact, so scores are unchanged.
     tagged = (
-        corpus.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
-        .select("vid", "v", F.explode(band_structs).alias("bs"))
-        .select("vid", "v", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("raw"),
+            _as_double(vec_col).alias("v"),
+        )
+        .select("vid", "raw", F.explode(band_structs).alias("bs"))
+        .select(
+            "vid",
+            F.col("raw").alias("v"),
+            F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"),
+        )
     )
     pairs = tagged.groupBy("band", "sig").applyInPandas(
         lambda pdf: _pairs_within(pdf, threshold), _PAIR_SCHEMA

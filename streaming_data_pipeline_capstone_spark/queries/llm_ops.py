@@ -291,6 +291,44 @@ def sim_lsh_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# corpus-scaled banded config (VERDICT r5 ask #3): band width is a
+# corpus-size knob — a fixed (planes, bands) only fits one corpus size.
+# operators/similarity.banded_lsh_config holds expected bucket occupancy
+# at the sf1-proven target and grows bands to keep per-pair recall ≥0.93
+# (recall is corpus-size-independent, so the sf0.1 recall test certifies
+# any n). At the correctness gate's sf0.01/sf0.001 the rule resolves to
+# exactly (4, 16), which is what the static oracle below unrolls; at
+# sf10's 200k vectors it scales to (7, 66). The corpus count that picks
+# the config is one metadata-only parquet count job.
+@register(
+    "sim_lsh_pairs_banded_scaled",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bands AS (
+      {" UNION ALL ".join(
+          f'''SELECT vec_id, v, {b} AS band,
+              {_lsh_sig_sql(_BAND_PLANES, b * _BAND_PLANES)} AS s FROM e'''
+          for b in range(_N_BANDS)
+      )}
+    )
+    SELECT DISTINCT id1, id2, cosine_sim FROM (
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.s = b.s AND a.vec_id < b.vec_id
+    ) WHERE cosine_sim >= {_SIM_T}
+    """,
+)
+def sim_lsh_pairs_banded_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_pipeline_capstone_spark.operators.similarity import banded_lsh_config
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    planes, bands = banded_lsh_config(emb.count(), threshold=_SIM_T)
+    return lsh_similar_pairs(
+        emb, threshold=_SIM_T, num_planes=planes, dim=_DIM, num_bands=bands
+    )
+
+
 # -- X4: text statistics -----------------------------------------------------------
 @register(
     "text_stats",
