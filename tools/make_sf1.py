@@ -61,15 +61,46 @@ def copy_fixed(con: duckdb.DuckDBPyConnection, table: str, out_dir: str) -> None
     )
 
 
+CHUNKS = 1
+
+
 def scale_sql(con: duckdb.DuckDBPyConnection, table: str, select: str, out_dir: str) -> None:
-    con.sql(
-        f"COPY (SELECT {select} FROM '{SRC}/{table}.parquet', range({REPLICAS}) reps(r)) "
-        f"TO '{out_dir}/{table}.parquet' (FORMAT PARQUET)"
-    )
+    # ORDER BY r: write replicas back-to-back, not interleaved. This is the
+    # layout a real corpus HAS — it grows by appending ingest batches, so
+    # each parquet row group covers one batch's key range. Interleaved
+    # replicas gave every row group the full key span (min 0, max 9e7),
+    # which silently disabled parquet row-group stats pruning for every
+    # key-range predicate and made selective queries scan-bound at scale
+    # (stream_sliding_per_key's 1.10 exponent in BENCH_sf10 was exactly
+    # this: filter user_id <= 10 keeps only replica-0 rows, but had to
+    # decode all 100 replicas to find them).
+    #
+    # CHUNKS > 1 (sf100): the table becomes a directory of chunk files,
+    # each covering a contiguous replica range — same append-grown layout,
+    # but each COPY sorts only its slice instead of spilling a 600M-row
+    # global sort. Spark/DuckDB both read the directory transparently.
+    if CHUNKS == 1:
+        con.sql(
+            f"COPY (SELECT {select} FROM '{SRC}/{table}.parquet', range({REPLICAS}) reps(r) "
+            f"ORDER BY r) "
+            f"TO '{out_dir}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        return
+    os.makedirs(f"{out_dir}/{table}.parquet", exist_ok=True)
+    per = (REPLICAS + CHUNKS - 1) // CHUNKS
+    for ci in range(CHUNKS):
+        lo, hi = ci * per, min((ci + 1) * per, REPLICAS)
+        if lo >= hi:
+            break
+        con.sql(
+            f"COPY (SELECT {select} FROM '{SRC}/{table}.parquet', "
+            f"range({lo}, {hi}) reps(r) ORDER BY r) "
+            f"TO '{out_dir}/{table}.parquet/chunk{ci:03d}.parquet' (FORMAT PARQUET)"
+        )
 
 
 def main() -> None:
-    global REPLICAS
+    global REPLICAS, CHUNKS
     ap = argparse.ArgumentParser()
     default_out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1"
@@ -84,8 +115,17 @@ def main() -> None:
         "prefix-free, so cross-replica shingle overlap is zero for any "
         "replica count (an undelimited prefix collides at replicas >= 11)",
     )
+    ap.add_argument(
+        "--chunks",
+        type=int,
+        default=1,
+        help="write each scaled table as a directory of N chunk files "
+        "(contiguous replica ranges) instead of one file — use for sf100 "
+        "so no COPY needs a 600M-row external sort",
+    )
     args = ap.parse_args()
     REPLICAS = args.replicas
+    CHUNKS = args.chunks
     out = args.out
     os.makedirs(out, exist_ok=True)
 
@@ -154,34 +194,55 @@ def main() -> None:
     vec_ids = src.column("vec_id").to_numpy()
     labels = src.column("label").to_numpy()
     mat = np.array(src.column("embedding").to_pylist(), dtype=np.float32)
-    out_ids, out_labels, out_vecs = [], [], []
-    for r in range(REPLICAS):
-        if r == 0:
-            vecs = mat
-        else:
-            rng = np.random.default_rng(r)
-            vecs = mat + rng.normal(0.0, 0.02, size=mat.shape).astype(np.float32)
-        out_ids.append(vec_ids + r * STRIDE)
-        out_labels.append(labels)
-        out_vecs.append(vecs)
-    table = pa.table(
-        {
-            "vec_id": pa.array(np.concatenate(out_ids), type=pa.int64()),
-            "embedding": pa.array(
-                [row for block in out_vecs for row in block.tolist()],
-                type=pa.list_(pa.float32()),
-            ),
-            "label": pa.array(np.concatenate(out_labels), type=pa.int32()),
-        }
-    )
-    pq.write_table(table, f"{out}/embeddings.parquet")
 
+    def emb_table(r_lo: int, r_hi: int) -> pa.Table:
+        out_ids, out_labels, out_vecs = [], [], []
+        for r in range(r_lo, r_hi):
+            if r == 0:
+                vecs = mat
+            else:
+                rng = np.random.default_rng(r)
+                vecs = mat + rng.normal(0.0, 0.02, size=mat.shape).astype(np.float32)
+            out_ids.append(vec_ids + r * STRIDE)
+            out_labels.append(labels)
+            out_vecs.append(vecs)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(out_ids), type=pa.int64()),
+                "embedding": pa.array(
+                    [row for block in out_vecs for row in block.tolist()],
+                    type=pa.list_(pa.float32()),
+                ),
+                "label": pa.array(np.concatenate(out_labels), type=pa.int32()),
+            }
+        )
+
+    if CHUNKS == 1:
+        pq.write_table(emb_table(0, REPLICAS), f"{out}/embeddings.parquet")
+    else:
+        os.makedirs(f"{out}/embeddings.parquet", exist_ok=True)
+        per = (REPLICAS + CHUNKS - 1) // CHUNKS
+        for ci in range(CHUNKS):
+            lo, hi = ci * per, min((ci + 1) * per, REPLICAS)
+            if lo >= hi:
+                break
+            pq.write_table(
+                emb_table(lo, hi),
+                f"{out}/embeddings.parquet/chunk{ci:03d}.parquet",
+            )
+
+    count_con = duckdb.connect()
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]:
-        n = pq.read_metadata(f"{out}/{t}.parquet").num_rows
+        path = f"{out}/{t}.parquet"
+        if os.path.isdir(path):
+            n = count_con.sql(f"SELECT count(*) FROM '{path}/*.parquet'").fetchone()[0]
+        else:
+            n = pq.read_metadata(path).num_rows
         print(f"{t}: {n}")
+    count_con.close()
 
 
 if __name__ == "__main__":
