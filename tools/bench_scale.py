@@ -183,7 +183,7 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_sf1.json"))
     ap.add_argument(
         "--driver-bench",
-        default=os.path.join(REPO, "BENCH_r04.json"),
+        default=os.path.join(REPO, "BENCH_r05.json"),
         help="most recent driver bench artifact; ref leg is cross-checked against it",
     )
     ap.add_argument(
@@ -234,7 +234,9 @@ def main() -> None:
     if args.driver_bench and os.path.exists(args.driver_bench):
         with open(args.driver_bench) as fh:
             driver = json.load(fh)
-        dq = driver.get("queries", {})
+        # Driver artifacts wrap bench.py's JSON line under "parsed";
+        # standalone runs of bench.py emit "queries" at top level.
+        dq = driver.get("queries") or driver.get("parsed", {}).get("queries", {})
         outliers = {}
         for n in names:
             if n in dq and dq[n] > 0 and ref_warm[n] > 0:

@@ -62,9 +62,12 @@ def copy_fixed(con: duckdb.DuckDBPyConnection, table: str, out_dir: str) -> None
 
 
 CHUNKS = 1
+WANTED: set[str] | None = None  # None = all tables; else generate only these
 
 
 def scale_sql(con: duckdb.DuckDBPyConnection, table: str, select: str, out_dir: str) -> None:
+    if WANTED is not None and table not in WANTED:
+        return
     # ORDER BY r: write replicas back-to-back, not interleaved. This is the
     # layout a real corpus HAS — it grows by appending ingest batches, so
     # each parquet row group covers one batch's key range. Interleaved
@@ -100,7 +103,7 @@ def scale_sql(con: duckdb.DuckDBPyConnection, table: str, select: str, out_dir: 
 
 
 def main() -> None:
-    global REPLICAS, CHUNKS
+    global REPLICAS, CHUNKS, WANTED
     ap = argparse.ArgumentParser()
     default_out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1"
@@ -123,17 +126,31 @@ def main() -> None:
         "(contiguous replica ranges) instead of one file — use for sf100 "
         "so no COPY needs a 600M-row external sort",
     )
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of tables to generate (default: all). "
+        "Use for sf100, where only the headline-query tables are benched "
+        "and e.g. 'part' would be 17 GB of dead weight",
+    )
     args = ap.parse_args()
     REPLICAS = args.replicas
     CHUNKS = args.chunks
     out = args.out
+    WANTED = set(args.tables.split(",")) if args.tables else None
+
+    def want(table: str) -> bool:
+        return WANTED is None or table in WANTED
+
     os.makedirs(out, exist_ok=True)
 
     con = duckdb.connect()
 
     # Fixed dimensions: TPC-H keeps these constant across SFs.
-    copy_fixed(con, "region", out)
-    copy_fixed(con, "nation", out)
+    if want("region"):
+        copy_fixed(con, "region", out)
+    if want("nation"):
+        copy_fixed(con, "nation", out)
 
     scale_sql(
         con,
@@ -190,6 +207,9 @@ def main() -> None:
     con.close()
 
     # Embeddings: numpy-seeded perturbation per replica.
+    if not want("embeddings"):
+        _print_counts(out)
+        return
     src = pq.read_table(f"{SRC}/embeddings.parquet")
     vec_ids = src.column("vec_id").to_numpy()
     labels = src.column("label").to_numpy()
@@ -231,12 +251,18 @@ def main() -> None:
                 f"{out}/embeddings.parquet/chunk{ci:03d}.parquet",
             )
 
+    _print_counts(out)
+
+
+def _print_counts(out: str) -> None:
     count_con = duckdb.connect()
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]:
         path = f"{out}/{t}.parquet"
+        if not os.path.exists(path):
+            continue
         if os.path.isdir(path):
             n = count_con.sql(f"SELECT count(*) FROM '{path}/*.parquet'").fetchone()[0]
         else:
