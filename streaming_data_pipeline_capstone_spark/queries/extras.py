@@ -1124,3 +1124,96 @@ def sim_topk_kmeans_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return probed.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)
+
+
+def _ivfpq_fixed_oracle() -> str:
+    """IVF coarse probe + PQ ADC refine, both against shipped artifacts."""
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        _values_cents_cte("cb", KMEANS_CENTROIDS),
+        _lloyd_assign_cte("af", "e", "cb", _EMB_DIM),
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+        f"""probe AS (SELECT cell FROM cb, q
+            ORDER BY list_cosine_similarity(cv, qv) DESC, cell ASC LIMIT {_NPROBE})""",
+    ]
+    for s in range(_PQ_SUBS):
+        lo = s * _PQ_SUB_DIM + 1
+        ctes.append(
+            f"e{s} AS (SELECT vec_id, list_slice(v, {lo}, {lo + _PQ_SUB_DIM - 1}) AS v FROM e)"
+        )
+        ctes.append(_values_cents_cte(f"b{s}", PQ_BOOKS[s]))
+        ctes.append(_lloyd_assign_cte(f"s{s}_af", f"e{s}", f"b{s}", _PQ_SUB_DIM))
+        ctes.append(
+            f"q{s} AS (SELECT list_slice(qv, {lo}, {lo + _PQ_SUB_DIM - 1}) AS qv FROM q)"
+        )
+        ctes.append(
+            f"""dt{s} AS (SELECT c.cell,
+                list_sum(list_transform(range(1, {_PQ_SUB_DIM}+1),
+                    i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d
+                FROM b{s} c, q{s} q)"""
+        )
+    joins = (
+        " ".join(f"JOIN s{s}_af a{s} USING (vec_id)" for s in range(1, _PQ_SUBS))
+        + " "
+        + " ".join(f"JOIN dt{s} ON a{s}.cell = dt{s}.cell" for s in range(_PQ_SUBS))
+        + " JOIN af USING (vec_id) JOIN probe ON af.cell = probe.cell"
+    )
+    total = " + ".join(f"dt{s}.d" for s in range(_PQ_SUBS))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT a0.vec_id, round({total}, 6) AS adc_dist
+    FROM s0_af a0 {joins}
+    ORDER BY adc_dist ASC, vec_id ASC
+    LIMIT 10
+    """
+    )
+
+
+@register("sim_topk_ivfpq_fixed", _ivfpq_fixed_oracle())
+def sim_topk_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe — the FAISS-IVFPQ deployment shape over shipped
+    artifacts: coarse k-means centroids prune the corpus to ``_NPROBE``
+    cells, then PQ codes + an ADC table rank the survivors. The scan
+    touches ~nprobe/k of the corpus and scores it from 4 small codes, so
+    per-query cost at 100 TB is (selectivity x corpus) integer lookups —
+    no full-precision vectors survive past the cell filter. This variant
+    codes raw vectors (one shared codebook across cells); classic residual
+    encoding (code v - centroid[cell]) needs per-cell ADC tables and is a
+    constant-factor refinement, not a different plan shape.
+
+    Parity note: composes the shipped-artifact IVF probe and PQ scorer
+    into the index shape a 100 TB ANN service runs; the reference's ANN
+    story stops at brute-force (predict_path.py's feature chain), so this
+    row extends SURVEY §2.11 X3, no reference twin.
+    """
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        assign_cells,
+        pq_adc_score,
+        pq_encode_cols,
+    )
+
+    vecs = _double_vecs(spark, sf_dir)
+    cells = vecs.withColumn("cell", assign_cells(F.col("v"), KMEANS_CENTROIDS))
+    query = [
+        float(x) for x in vecs.filter(F.col("vec_id") == 0).select("v").head()[0]
+    ]
+    centroids_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(KMEANS_CENTROIDS)], "cell int, cv array<double>"
+    )
+    qcol = F.array(*[F.lit(x) for x in query])
+    probe_cells = (
+        centroids_df.select("cell", cosine(F.col("cv"), qcol).alias("csim"))
+        .orderBy(F.desc("csim"), F.asc("cell"))
+        .limit(_NPROBE)
+        .select("cell")
+    )
+    codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
+    survivors = cells.join(F.broadcast(probe_cells), "cell").select(
+        "vec_id", *pq_encode_cols(F.col("v"), PQ_BOOKS, _PQ_SUB_DIM)
+    )
+    scored = survivors.select(
+        "vec_id",
+        F.round(pq_adc_score(codes, query, PQ_BOOKS, _PQ_SUB_DIM), 6).alias("adc_dist"),
+    )
+    return scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
