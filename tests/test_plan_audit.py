@@ -37,6 +37,7 @@ BNLJ_OK = {
     "join_range_price_bands",
     "sim_topk_bruteforce",
     "sim_topk_kmeans_ivf",
+    "sim_topk_kmeans_ivf_fixed",  # crossJoin against the broadcast 1-row query
     "text_idf_profile",  # crossJoin against the broadcast 1-row corpus count
 }
 
@@ -108,11 +109,16 @@ SHUFFLE_BUDGET = {
     "setop_union_nations": 1,
     "sim_lsh_pairs": 1,
     "sim_lsh_pairs_banded": 2,  # band-bucket groupBy + cross-band distinct
+    "sim_lsh_pairs_banded_scaled": 2,  # same plan, corpus-scaled (planes, bands)
 
+    "emb_pq_encode_fixed": 0,  # shipped codebook: pure per-row exprs
     "sim_pq_topk": 0,  # ADC lookups vs literal tables + TakeOrderedAndProject
+    "sim_pq_topk_fixed": 0,  # shipped codebook: scan + TakeOrderedAndProject
     "sim_topk_bruteforce": 0,
     "sim_topk_ivf": 0,
+    "sim_topk_ivfpq_fixed": 0,  # coarse cell broadcast-semi + ADC, no exchange
     "sim_topk_kmeans_ivf": 0,
+    "sim_topk_kmeans_ivf_fixed": 0,
     "sim_topk_pandas": 0,
     "sort_top20_orders": 0,  # TakeOrderedAndProject, no range exchange
     "split_train_val_test": 1,
@@ -156,7 +162,9 @@ MUST_PUSH_FILTER = {
     "setop_except_customers",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
+    "sim_topk_ivfpq_fixed",
     "sim_topk_kmeans_ivf",
+    "sim_topk_kmeans_ivf_fixed",
     "stream_session_windows",
     "stream_sliding_avg",
     "stream_sliding_per_key",

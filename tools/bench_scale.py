@@ -68,6 +68,11 @@ LLMOPS_QUERIES = [
     "emb_pq_encode_fixed",
     "sim_pq_topk_fixed",
     "sim_topk_kmeans_ivf_fixed",
+    # round 6: IVF-PQ composition (coarse probe + ADC refine) and the
+    # corpus-scaled banded-LSH config (occupancy-held planes, recall-held
+    # bands — the knob VERDICT r5 ask #3 wanted shipped and timed)
+    "sim_topk_ivfpq_fixed",
+    "sim_lsh_pairs_banded_scaled",
 ]
 
 WARM_COLD_TOL = 1.25  # per-query warm may exceed cold by noise, not by 25%
