@@ -1217,3 +1217,60 @@ def sim_topk_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pq_adc_score(codes, query, PQ_BOOKS, _PQ_SUB_DIM), 6).alias("adc_dist"),
     )
     return scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
+
+
+def _semantic_cells_oracle() -> str:
+    return (
+        "WITH "
+        + ",\n".join(
+            [
+                "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+                _values_cents_cte("cb", KMEANS_CENTROIDS),
+                _lloyd_assign_cte("af", "e", "cb", _EMB_DIM),
+            ]
+        )
+        + """
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+    FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    """
+    )
+
+
+@register("dedup_semantic_cells", _semantic_cells_oracle())
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped near-dedup (Abbas et al. 2023): candidate pairs are
+    generated only WITHIN a coarse k-means cell (shipped centroids), never
+    across the corpus — the centroid bucket plays the role the band bucket
+    plays in MinHash-LSH. At 100 TB the verify work is sum over cells of
+    |cell|^2 instead of n^2: with k sized so cells hold ~1/k of the corpus
+    the pruning factor is ~k, and skewed cells split by salting the cell id
+    exactly like any hot groupBy key. One exchange on cell; the per-cell
+    GEMM is the same in-bucket verify the banded-LSH path runs.
+
+    Parity note: the brute-force twin (`dedup_embedding_cosine`,
+    queries/llm_ops.py) is the mandated baseline; this row is its scale
+    path, extending SURVEY §2.11 X2 (no reference twin — the reference has
+    no embedding operators).
+    """
+    from streaming_data_pipeline_capstone_spark.operators.similarity import assign_cells
+
+    vecs = _double_vecs(spark, sf_dir)
+    cells = vecs.withColumn("cell", assign_cells(F.col("v"), KMEANS_CENTROIDS))
+    a = cells.alias("a")
+    b = cells.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("csim", cosine(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("csim") >= 0.45)
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.round(F.col("csim"), 6).alias("cosine_sim"),
+        )
+    )

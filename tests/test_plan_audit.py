@@ -111,6 +111,7 @@ SHUFFLE_BUDGET = {
     "sim_lsh_pairs_banded": 2,  # band-bucket groupBy + cross-band distinct
     "sim_lsh_pairs_banded_scaled": 2,  # same plan, corpus-scaled (planes, bands)
 
+    "dedup_semantic_cells": 0,  # at this SF the cell self-join broadcasts; at scale: one exchange on cell
     "emb_pq_encode_fixed": 0,  # shipped codebook: pure per-row exprs
     "sim_pq_topk": 0,  # ADC lookups vs literal tables + TakeOrderedAndProject
     "sim_pq_topk_fixed": 0,  # shipped codebook: scan + TakeOrderedAndProject
@@ -145,6 +146,7 @@ MUST_PUSH_FILTER = {
     "decontam_ngram_overlap",
     "decontam_ngram_overlap_w8",
     "dedup_embedding_cosine",
+    "dedup_semantic_cells",
     "join_anti_never_ordered",
     "join_asof_last_click",
     "join_asof_nearest_click",
