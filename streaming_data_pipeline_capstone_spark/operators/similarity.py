@@ -224,20 +224,85 @@ def banded_lsh_config(
 
 def _pairs_within(pdf, threshold: float):
     """All (id1 < id2) cosine ≥ threshold pairs inside one pandas group,
-    via a single normalized GEMM."""
+    via a normalized GEMM in row blocks.
+
+    Blocked because bucket size is data-dependent, not rule-bounded: the
+    occupancy rule holds the EXPECTED bucket at ~occ_target, but clustered
+    corpora (e.g. many near-copies of a base document sharing every sign
+    bit) concentrate into hot buckets 10–40× that. A full m×m similarity
+    matrix plus triu index arrays is O(m²) memory — at m≈50k that's tens
+    of GB in one task (measured: the sf10 banded-scaled leg sat in a
+    single-straggler stage for 25+ minutes, GC-bound). Row blocks sized to
+    ~256 MB keep the same O(m²) flops (cheap — the GEMM itself is seconds)
+    but O(block×m) memory, so a hot bucket degrades smoothly instead of
+    stalling the stage. Pair set and 6-dp scores are unchanged: same
+    round-then-compare, same global j>i triangle."""
+    import numpy as np
+    import pandas as pd
+
+    return _blocked_pairs(pdf, threshold, prefixes=None)
+
+
+def _make_first_band_verify(threshold: float, num_bands: int, sig_dtype: str):
+    """Blocked verify with first-match-band suppression: a pair is
+    emitted only if its two members' band signatures BEFORE this bucket's
+    band disagree everywhere — i.e. this is the first band that put them
+    in one bucket. Union over bands = exactly one emission per qualifying
+    candidate pair, no distinct() needed."""
+
+    def verify(pdf):
+        import numpy as np
+
+        b = int(pdf["band"].iloc[0]) if len(pdf) else 0
+        prefixes = None
+        if b:
+            all_sigs = np.frombuffer(
+                b"".join(pdf["sigs"].to_numpy()), dtype=sig_dtype
+            ).reshape(len(pdf), num_bands)
+            prefixes = all_sigs[:, :b]
+        return _blocked_pairs(pdf, threshold, prefixes=prefixes)
+
+    return verify
+
+
+def _blocked_pairs(pdf, threshold: float, prefixes):
     import numpy as np
     import pandas as pd
 
     ids = pdf["vid"].to_numpy()
     m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
     norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
-    sims = (m / norms) @ (m / norms).T
-    ii, jj = np.triu_indices(len(ids), k=1)
-    s = np.round(sims[ii, jj], 6)
-    keep = s >= threshold
-    id1 = np.minimum(ids[ii[keep]], ids[jj[keep]])
-    id2 = np.maximum(ids[ii[keep]], ids[jj[keep]])
-    return pd.DataFrame({"id1": id1, "id2": id2, "cosine_sim": s[keep]})
+    x = m / norms
+    n = len(ids)
+    block = max(128, (32 << 20) // max(n, 1))  # ~256 MB of float64 sims
+    cols = np.arange(n)
+    id1_parts, id2_parts, s_parts = [], [], []
+    for i0 in range(0, n, block):
+        i1 = min(i0 + block, n)
+        sims = x[i0:i1] @ x.T
+        # pre-filter with a half-ulp-of-rounding guard, round only the
+        # survivors: round-then-compare semantics unchanged, per-element
+        # rounding cost drops from occ² to the qualifying count
+        mask = (sims >= threshold - 1e-6) & (cols[None, :] > np.arange(i0, i1)[:, None])
+        ri, ci = np.nonzero(mask)
+        s = np.round(sims[ri, ci], 6)
+        keep = s >= threshold
+        if prefixes is not None:
+            keep &= ~(prefixes[ri + i0] == prefixes[ci]).any(axis=1)
+        ri, ci, s = ri[keep], ci[keep], s[keep]
+        gi, gj = ids[ri + i0], ids[ci]
+        id1_parts.append(np.minimum(gi, gj))
+        id2_parts.append(np.maximum(gi, gj))
+        s_parts.append(s)
+    if not id1_parts:
+        return pd.DataFrame({"id1": ids[:0], "id2": ids[:0], "cosine_sim": np.array([], dtype=np.float64)})
+    return pd.DataFrame(
+        {
+            "id1": np.concatenate(id1_parts),
+            "id2": np.concatenate(id2_parts),
+            "cosine_sim": np.concatenate(s_parts),
+        }
+    )
 
 
 _PAIR_SCHEMA = "id1 long, id2 long, cosine_sim double"
@@ -282,46 +347,88 @@ def lsh_similar_pairs(
         return tagged.groupBy("sig").applyInPandas(
             lambda pdf: _pairs_within(pdf, threshold), _PAIR_SCHEMA
         )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                hyperplane_signature(
-                    F.col("v"),
-                    num_planes,
-                    dim,
-                    plane_offset=b * num_planes,
-                    planes=all_planes[b * num_planes : (b + 1) * num_planes],
-                ).alias("sig"),
-            )
-            for b in range(num_bands)
-        ]
+    # Two scale lessons are baked into this path (both measured at sf10,
+    # 200k vectors, the (7, 66) corpus-scaled config):
+    #
+    # 1. Signatures come from ONE Arrow-batched GEMM, not per-plane
+    #    Column folds. bands×planes dot products per vector through
+    #    interpreted higher-order functions (zip_with + aggregate run
+    #    without codegen) cost ~10 minutes at sf10 for what is a 6-GFLOP
+    #    matrix multiply — X @ Pᵀ > 0 in mapInPandas does it in
+    #    milliseconds per batch. Sign-at-zero is the only place numpy's
+    #    summation order could disagree with a sequential fold (the same
+    #    epsilon the DuckDB oracle's list_sum already tolerates vs the
+    #    JVM); no fixture dot sits at that boundary.
+    #
+    # 2. FIRST-MATCH-BAND emission instead of emit-everywhere +
+    #    distinct(). OR-amplification re-verifies and re-emits every
+    #    qualifying pair in EVERY band whose signatures agree — on
+    #    near-duplicate-heavy corpora (the LLM-dedup case) that
+    #    redundancy factor approaches num_bands (measured: ~550M emitted
+    #    rows collapsing to ~19M distinct; the distinct exchange, not the
+    #    GEMM, dominated wall-clock). Each tagged row instead carries the
+    #    PREFIX of its band-signature array, and the in-bucket verify
+    #    emits a pair only if no earlier band already matched — exactly
+    #    one emission per qualifying pair, row-identical to the old
+    #    distinct() output (cosine is deterministic per pair), and the
+    #    post-shuffle disappears.
+    #
+    # The exchange carries the raw float32 vector (in-bucket
+    # float32→float64 widening is exact) plus an average bands/2-long
+    # prefix.
+    import numpy as np
+    import pandas as pd
+
+    plane_mat = np.asarray(all_planes, dtype=np.float64)  # (bands*planes, dim)
+    weights = (1 << np.arange(num_planes, dtype=np.int64))
+    # every band signature packed into one bytes object per VECTOR —
+    # uint8 cells while planes fit a byte (corpora to ~320k at the
+    # default occupancy target), uint32 beyond. The same bytes object is
+    # REUSED by all bands× tagged rows of its vector, so prefix transport
+    # costs one tobytes() per vector, not bands× Python lists per row
+    # (measured: per-row long-array prefixes were ~435M boxed ints at
+    # sf10 — the tagging stage itself became the bottleneck).
+    sig_dtype = "<u1" if num_planes <= 8 else "<u4"
+
+    def tag_bands(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (x @ plane_mat.T) > 0  # (n, bands*planes)
+            sig_ints = (
+                bits.reshape(len(x), num_bands, num_planes) * weights
+            ).sum(axis=2)  # (n, bands)
+            packed = sig_ints.astype(sig_dtype)
+            sig_bytes = [row.tobytes() for row in packed]
+            vids = pdf[id_col].to_numpy()
+            vecs = pdf[vec_col]
+            for b in range(num_bands):
+                yield pd.DataFrame(
+                    {
+                        "vid": vids,
+                        "v": vecs,
+                        "band": np.full(len(x), b, dtype=np.int32),
+                        "sig": sig_ints[:, b],
+                        "sigs": sig_bytes,
+                    }
+                )
+
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
+    src = corpus.select(id_col, vec_col)
+    # Parallelism guard for SMALL inputs only: a single-row-group parquet
+    # file scans as one split, which would serialize the tagging GEMM and
+    # the shuffle write into one task (measured 200s each at sf10). At
+    # real scale the scan has more splits than cores and this is a no-op.
+    parallelism = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    tagged = src.mapInPandas(
+        tag_bands,
+        f"vid long, v {vec_type}, band int, sig long, sigs binary",
     )
-    # materialize the double-cast vector BELOW the explode: band_structs
-    # (the generator input) evaluates once per vector, and the projection
-    # above the Generate only carries attributes — otherwise the cast
-    # re-runs per exploded band row (bands× the work). The vector that
-    # RIDES the bands× explode + exchange is the raw (float32) column,
-    # not the double cast: half the shuffle bytes, and the in-bucket
-    # GEMM's float32→float64 widening is exact, so scores are unchanged.
-    tagged = (
-        corpus.select(
-            F.col(id_col).alias("vid"),
-            F.col(vec_col).alias("raw"),
-            _as_double(vec_col).alias("v"),
-        )
-        .select("vid", "raw", F.explode(band_structs).alias("bs"))
-        .select(
-            "vid",
-            F.col("raw").alias("v"),
-            F.col("bs.band").alias("band"),
-            F.col("bs.sig").alias("sig"),
-        )
-    )
-    pairs = tagged.groupBy("band", "sig").applyInPandas(
-        lambda pdf: _pairs_within(pdf, threshold), _PAIR_SCHEMA
-    )
-    return pairs.distinct()
+    verify = _make_first_band_verify(threshold, num_bands, sig_dtype)
+    return tagged.groupBy("band", "sig").applyInPandas(verify, _PAIR_SCHEMA)
 
 
 def brute_force_pairs(
