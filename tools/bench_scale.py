@@ -235,6 +235,17 @@ def main() -> None:
         if r > 0 and t > 0:
             exponent[n] = round(math.log(t / r) / math.log(args.data_ratio), 2)
 
+    # Output-size exponent alongside the time exponent: an enumeration
+    # query (pair finding) whose RESULT grows quadratically by data
+    # construction cannot have a sub-linear time exponent — the honest
+    # read is time-vs-output. rows_exponent > 1 flags exactly those
+    # queries; compare exponent to rows_exponent, not to 1.0, for them.
+    rows_exponent = {}
+    for n in names:
+        rr, tr = ref1["rows"].get(n, 0), target["rows"].get(n, 0)
+        if rr > 0 and tr > 0:
+            rows_exponent[n] = round(math.log(tr / rr) / math.log(args.data_ratio), 2)
+
     driver_check: dict = {"artifact": None}
     if args.driver_bench and os.path.exists(args.driver_bench):
         with open(args.driver_bench) as fh:
@@ -264,7 +275,7 @@ def main() -> None:
         "metric": f"bench_suite_warm_total_{target_label}",
         "value": target["warm_total"],
         "unit": "sec",
-        "sf": {"sf1": 1.0, "sf10": 10.0}.get(target_label, target_label),
+        "sf": {"sf1": 1.0, "sf10": 10.0, "sf100": 100.0}.get(target_label, target_label),
         "data_ratio": args.data_ratio,
         "queries": target["queries"],
         "queries_cold": target["queries_cold"],
@@ -282,6 +293,7 @@ def main() -> None:
         },
         "driver_bench_check": driver_check,
         "scaling_exponent": exponent,
+        "rows_exponent": rows_exponent,
         "methodology": (
             "A/B/A legs (ref, target, ref), each a fresh subprocess/JVM; "
             "ref timing = per-query min of the two ref legs; per-leg gate "
