@@ -207,7 +207,7 @@ _ECEF_N = (
       SELECT * FROM src
       WHERE lat > 7.0 AND lat < 23.0 AND lon > 105.0 AND lon < 123.0
     )
-    SELECT CAST(user_id AS INT) AS mmsi,
+    SELECT CAST(user_id AS BIGINT) AS mmsi,
            ts_s AS timestamp_utc,
            round(value, 6) AS speed_over_ground,
            round(value * 7 % 360, 6) AS course_over_ground,

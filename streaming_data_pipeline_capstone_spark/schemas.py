@@ -14,12 +14,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # -- AIS wire schema (17 cols) — reference preprocess.py:22-39 ---------------
-# Quirk preserved: mmsi is IntegerType (9-digit MMSIs fit in int32) even
-# though the reference's data dictionary (README.md:64) calls it a string.
+# Round-6 scale change: mmsi is LongType. The reference used int32 (real
+# 9-digit MMSIs fit; its data dictionary README.md:64 even calls it a
+# string) and rounds 1-5 preserved that quirk — but the sf100 decade's
+# 10^10 key space overflows int32 under ANSI casts, and a 100 TB
+# pipeline keys entities on 64-bit ids. Oracles cast BIGINT in lockstep.
 AIS_WIRE_SCHEMA = T.StructType(
     [
         T.StructField("timestamp_utc", T.StringType(), True),
-        T.StructField("mmsi", T.IntegerType(), True),
+        T.StructField("mmsi", T.LongType(), True),
         T.StructField("position", T.StringType(), True),  # WKT POINT(lon lat)
         T.StructField("navigation_status", T.DoubleType(), True),
         T.StructField("speed_over_ground", T.DoubleType(), True),
@@ -41,7 +44,7 @@ AIS_WIRE_SCHEMA = T.StructType(
 # -- processed / kinematic schema (9 cols) — reference predict_path.py:23-32 -
 AIS_PROCESSED_SCHEMA = T.StructType(
     [
-        T.StructField("mmsi", T.IntegerType(), True),
+        T.StructField("mmsi", T.LongType(), True),
         T.StructField("timestamp_utc", T.TimestampType(), True),
         T.StructField("speed_over_ground", T.DoubleType(), True),
         T.StructField("course_over_ground", T.DoubleType(), True),

@@ -127,7 +127,7 @@ def ais_wire_from_events(
     )
     wire = events.select(
         format_ts_z(F.col("ts")).alias("timestamp_utc"),
-        F.col("user_id").cast("int").alias("mmsi"),
+        F.col("user_id").cast("long").alias("mmsi"),
         F.concat(F.lit("POINT("), lon, F.lit(" "), lat, F.lit(")")).alias("position"),
         mt.alias("message_type"),
         F.col("value").alias("speed_over_ground"),
