@@ -96,6 +96,46 @@ def stateful_job(stream):
     )
 
 
+def run_jvm_state(spark, replay_dir, ckpt, fpt: int, state_dir: str) -> float:
+    """Same last-3 semantics, JVM-side state: foreachBatch union-upsert
+    (the J1 operator the flagship pipeline uses) — merge the micro-batch
+    with the persisted state table, rank with row_number per key, keep 3,
+    rewrite. State never passes through Python; the per-batch cost is one
+    exchange on the key plus a 3k-row-per-key parquet rewrite, which is
+    how a lakehouse pipeline (Delta MERGE) keeps hot state at scale."""
+    from streaming_data_pipeline_capstone_spark.operators.windows import (
+        last_k_per_key,
+    )
+
+    stream = stream_from_replay(spark, replay_dir, SCHEMA, files_per_trigger=fpt)
+    holder: dict = {"cur": None}
+
+    def sink(batch, epoch_id):
+        sess = batch.sparkSession
+        merged = batch
+        if holder["cur"] is not None:
+            merged = batch.unionByName(
+                sess.read.parquet(holder["cur"]).drop("rn")
+            )
+        out = last_k_per_key(
+            merged, key="user_id", order_col="ts", k=3, tiebreak="value"
+        )
+        new_dir = os.path.join(state_dir, f"v{epoch_id}")
+        out.write.mode("overwrite").parquet(new_dir)
+        holder["cur"] = new_dir
+
+    t0 = time.perf_counter()
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return time.perf_counter() - t0
+
+
 def run_query(spark, replay_dir, ckpt, job, fpt: int) -> float:
     stream = stream_from_replay(spark, replay_dir, SCHEMA, files_per_trigger=fpt)
     t0 = time.perf_counter()
@@ -163,6 +203,20 @@ def main() -> None:
         results["stateful_rocksdb_changelog_fpt10"] = cell(
             "stateful_rocksdb_changelog_fpt10", stateful_job, 10, ROCKSDB, True
         )
+
+        # JVM-state strategy: same semantics, state never enters Python.
+        for fpt in (1, 10):
+            label = f"stateful_jvm_upsert_fpt{fpt}"
+            elapsed = run_jvm_state(
+                spark,
+                replay_dir,
+                os.path.join(workdir, "ckpt", label),
+                fpt,
+                os.path.join(workdir, "state", label),
+            )
+            rate = round(n_rows / elapsed, 1)
+            print(f"# {label}: {elapsed:.2f}s = {rate} ev/s", file=sys.stderr)
+            results[label] = {"elapsed_sec": round(elapsed, 3), "rate": rate}
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -188,6 +242,16 @@ def main() -> None:
         ),
         "rocksdb_changelog_fpt10": round(
             results["stateful_rocksdb_changelog_fpt10"]["rate"]
+            / results["plain_fpt10"]["rate"],
+            3,
+        ),
+        "jvm_upsert_fpt1": round(
+            results["stateful_jvm_upsert_fpt1"]["rate"]
+            / results["plain_fpt1"]["rate"],
+            3,
+        ),
+        "jvm_upsert_fpt10": round(
+            results["stateful_jvm_upsert_fpt10"]["rate"]
             / results["plain_fpt10"]["rate"],
             3,
         ),
