@@ -6,25 +6,39 @@ JSON line::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan build + execution + result drain via a
-count over the full result — no driver-side collect of wide data).
+Round-7 methodology (VERDICT r6 ask #1): the committed BENCH_r06.json was a
+single run generated under sandbox load and misreported the engine by up to
+11x on one query (window_running_sum 1.547 s committed vs 0.165 s on an
+idle re-run) — the exact noise band tools/bench_scale.py already defends
+against with fresh-JVM interleaved legs. The driver bench now runs the SAME
+discipline:
 
-Each query runs THREE times: the first (cold) pass pays Catalyst analysis,
-codegen compilation, and file-listing caches; the two warm passes re-plan +
-re-execute with those JVM caches hot, and the reported warm number is the
-MIN of the two. The headline ``value`` is the WARM suite total (promoted
-round 3): driver cold totals swung ±25% on sandbox load with zero plan
-change in rounds 1→2, so warm — which isolates actual query work from
-one-time JVM startup and load spikes — is the number whose round-over-round
-delta reflects plans. Cold numbers remain under ``queries_cold`` /
-``cold_total`` for continuity with BENCH_r01/r02 (whose ``value`` was the
-cold total). ``spark.catalog.clearCache()`` runs between queries so a query
-that persists intermediates internally can't leak cache into the next
-query's timing.
+- the suite runs in N independent LEGS (default 2, ``--legs`` /
+  ``$SPARK_GRAFT_BENCH_LEGS``), each a fresh subprocess with its own JVM,
+  codegen caches, and streaming workdir;
+- within a leg each query runs cold once + twice warm (reported warm =
+  min of the two), with ``spark.catalog.clearCache()`` between queries;
+- per-leg cleanliness gate: suite warm total must be <= cold total and no
+  query may run warm > 1.25x its own cold — warm>cold is the signature of
+  external load, not of query cost. A flagged leg is retried ONCE in a
+  fresh subprocess; if still flagged it is kept but marked dirty;
+- the reported per-query number is the MIN across legs (load spikes only
+  ever ADD time), the headline ``value`` is the sum of those minima, and
+  the artifact carries every per-leg sample plus the max/min spread so a
+  contaminated leg is visible instead of silently averaged in;
+- the streaming metric is the MAX events/s across legs for the same
+  reason, with per-leg values recorded.
+
+The headline ``value`` is the WARM suite total (promoted round 3): warm
+isolates actual query work from one-time JVM startup. Cold numbers remain
+under ``queries_cold`` / ``cold_total`` for continuity with BENCH_r01/r02
+(whose ``value`` was the cold total).
 
 The line also carries ``streaming`` — tools/bench_streaming.py's ingest
-metrics (the one quantitative BASELINE.md target, ≥2,800 events/s) — so the
-per-round artifact machine-checks it.
+metrics (the one quantitative BASELINE.md target, >=2,800 events/s) — so
+the per-round artifact machine-checks it. Streaming runs FIRST within each
+leg: micro-batch rates measured in an aged JVM read ~40% low vs a fresh
+session.
 
 The suite covers every distinct physical shape in the engine: windowed
 dedup/rank state (flagship), hash aggregation, broadcast + shuffle joins,
@@ -37,13 +51,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from streaming_data_pipeline_capstone_spark.registry import all_queries
-from streaming_data_pipeline_capstone_spark.session import get_spark
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 # Headline suite: one representative per physical shape, heaviest inputs.
 BENCH_QUERIES = [
@@ -63,27 +77,21 @@ BENCH_QUERIES = [
     "decontam_ngram_overlap",   # broadcast eval-gram join over corpus grams
 ]
 
+WARM_COLD_TOL = 1.25  # warm may exceed cold by noise, not by 25%
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument(
-        "--sf-dir",
-        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
-        help="parquet table directory to bench against (first-class scale mode)",
-    )
-    args = ap.parse_args()
-    sf_dir = args.sf_dir
-    spark = get_spark(app_name="bench")
+
+def run_leg(sf_dir: str) -> dict:
+    """One leg: fresh session, streaming first, then cold + min-of-2 warm."""
+    from streaming_data_pipeline_capstone_spark.registry import all_queries
+    from streaming_data_pipeline_capstone_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-leg")
     qs = all_queries()
 
     # Warm the JVM/codegen path once with a trivial action so q1's time
     # isn't dominated by session startup.
     spark.range(1).count()
 
-    # Streaming bench runs FIRST: micro-batch rates measured in an aged JVM
-    # (after 33 batch query executions) read ~40% low vs a fresh session —
-    # front-running it keeps the metric comparable to a standalone
-    # tools/bench_streaming.py run.
     try:
         from tools.bench_streaming import run_streaming_bench
 
@@ -94,27 +102,140 @@ def main() -> None:
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
-    cold_total = 0.0
-    warm_total = 0.0
+    rows: dict[str, int] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
         dt = time.perf_counter() - t0
         cold[name] = round(dt, 3)
-        cold_total += dt
         warm_attempts = []
         for _ in range(2):
             t1 = time.perf_counter()
             fn(spark, sf_dir).count()
             warm_attempts.append(time.perf_counter() - t1)
-        dw = min(warm_attempts)
-        warm[name] = round(dw, 3)
-        warm_total += dw
+        warm[name] = round(min(warm_attempts), 3)
+        rows[name] = n
         # Queries that persist() intermediates internally (e.g. minhash's
         # shingle index) must not leak cache into the next query's timing.
         spark.catalog.clearCache()
-        print(f"# {name}: cold={dt:.3f}s warm={dw:.3f}s rows={n}", file=sys.stderr)
+        print(
+            f"# {name}: cold={dt:.3f}s warm={warm[name]:.3f}s rows={n}",
+            file=sys.stderr,
+        )
+    spark.stop()
+    return {
+        "queries": warm,
+        "queries_cold": cold,
+        "rows": rows,
+        "warm_total": round(sum(warm.values()), 3),
+        "cold_total": round(sum(cold.values()), 3),
+        "streaming": streaming,
+    }
+
+
+def leg_gate(leg: dict) -> dict:
+    """Interference signature check: warm must not exceed cold."""
+    flagged = [
+        n
+        for n, w in leg["queries"].items()
+        if w > leg["queries_cold"][n] * WARM_COLD_TOL
+    ]
+    return {
+        "warm_total_le_cold_total": leg["warm_total"] <= leg["cold_total"],
+        "warm_gt_cold_queries": flagged,
+        "clean": leg["warm_total"] <= leg["cold_total"] and not flagged,
+    }
+
+
+def spawn_leg(sf_dir: str, label: str) -> dict:
+    """Run one leg in a fresh python/JVM; retry once if the gate flags it."""
+    for attempt in (1, 2):
+        with tempfile.NamedTemporaryFile(suffix=".json", dir=REPO, delete=False) as tf:
+            out_path = tf.name
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--leg",
+                    "--leg-out",
+                    out_path,
+                    "--sf-dir",
+                    sf_dir,
+                ],
+                cwd=REPO,
+                timeout=3600,
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(f"bench leg {label} exited {proc.returncode}")
+            with open(out_path) as fh:
+                leg = json.load(fh)
+        finally:
+            if os.path.exists(out_path):
+                os.unlink(out_path)
+        gate = leg_gate(leg)
+        leg["gate"] = gate
+        leg["attempt"] = attempt
+        if gate["clean"] or attempt == 2:
+            if not gate["clean"]:
+                print(
+                    f"# WARNING bench leg {label} still gate-flagged after retry: {gate}",
+                    file=sys.stderr,
+                )
+            return leg
+        print(f"# bench leg {label} gate-flagged ({gate}); retrying once", file=sys.stderr)
+    raise AssertionError("unreachable")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        help="parquet table directory to bench against (first-class scale mode)",
+    )
+    ap.add_argument(
+        "--legs",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_LEGS", "2")),
+        help="independent fresh-JVM legs; reported numbers are per-query minima",
+    )
+    ap.add_argument("--leg", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--leg-out", default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
+
+    if args.leg:
+        leg = run_leg(sf_dir)
+        with open(args.leg_out, "w") as fh:
+            json.dump(leg, fh)
+        return
+
+    legs = [spawn_leg(sf_dir, f"#{i + 1}") for i in range(max(1, args.legs))]
+
+    names = BENCH_QUERIES
+    warm = {n: min(leg["queries"][n] for leg in legs) for n in names}
+    cold = {n: min(leg["queries_cold"][n] for leg in legs) for n in names}
+    spread = {
+        n: round(
+            max(leg["queries"][n] for leg in legs)
+            / max(min(leg["queries"][n] for leg in legs), 1e-9),
+            2,
+        )
+        for n in names
+    }
+
+    # Streaming: take the leg with the highest ingest rate (load only ever
+    # slows a leg down), keep every leg's rate for the spread story.
+    stream_legs = [leg["streaming"] for leg in legs]
+    rated = [s for s in stream_legs if isinstance(s.get("value"), (int, float))]
+    streaming = max(rated, key=lambda s: s["value"]) if rated else stream_legs[0]
+    streaming = dict(streaming)
+    streaming["per_leg_rates"] = [s.get("value") for s in stream_legs]
+    streaming["per_leg_stateful_rates"] = [
+        s.get("stateful_last3_rate") for s in stream_legs
+    ]
 
     sf = os.path.basename(sf_dir.rstrip("/")).lstrip(".").removeprefix("sf")
     try:
@@ -125,21 +246,44 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "bench_suite_warm_total",
-                "value": round(warm_total, 3),
+                "value": round(sum(warm.values()), 3),
                 "unit": "sec",
                 # r1/r2 artifacts put the COLD suite total in "value";
                 # since r3 it is the warm total. Cross-round comparisons
                 # must use cold_total vs old value, or warm vs warm.
-                "metric_note": "value=warm since r3; compare cold_total to r1/r2 value",
+                "metric_note": "value=warm since r3; min over fresh-JVM legs since r7",
                 "queries": warm,
                 "queries_cold": cold,
-                "cold_total": round(cold_total, 3),
+                "cold_total": round(sum(cold.values()), 3),
                 "streaming": streaming,
                 "sf": sf_val,
+                "legs": [
+                    {
+                        "queries": leg["queries"],
+                        "queries_cold": leg["queries_cold"],
+                        "warm_total": leg["warm_total"],
+                        "cold_total": leg["cold_total"],
+                        "gate": leg["gate"],
+                        "attempt": leg["attempt"],
+                        "streaming_rate": leg["streaming"].get("value"),
+                    }
+                    for leg in legs
+                ],
+                "leg_spread": spread,
+                "leg_spread_max": max(spread.values()),
+                "all_legs_clean": all(leg["gate"]["clean"] for leg in legs),
+                "rows": legs[0]["rows"],
+                "methodology": (
+                    "N fresh-subprocess/JVM legs (streaming first, then cold + "
+                    "min-of-2 warm per query, clearCache between queries); "
+                    "per-leg gate warm_total<=cold_total and per-query warm<="
+                    "1.25x cold, one retry on violation; reported query time = "
+                    "min across legs, streaming rate = max across legs; "
+                    "per-leg samples + spread recorded"
+                ),
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
