@@ -1,0 +1,148 @@
+"""Cell-partitioned ANN serving layout — storage pruning for IVF probes.
+
+The fixed-codebook IVF / IVF-PQ probes prune COMPUTE to ~nprobe/k of the
+corpus (cells outside the probe set are never scored), but their input is
+the flat ``embeddings`` table, so per-query I/O stays O(n): the scan reads
+every row and the cell filter drops survivors after decode. At 100 TB the
+serving win is reading nprobe/k of STORAGE — which takes a layout, not a
+plan: write the corpus ONCE partitioned by coarse cell (FAISS's inverted
+lists, expressed as hive partitions), and a probe with a literal
+``cell IN (...)`` predicate becomes a partition-pruned scan that lists and
+reads only the probed directories.
+
+This module owns that layout:
+
+- :func:`ensure_cell_layout` writes ``<repo>/.ann_layout/<slug>/`` once per
+  source corpus: vec_id + raw embedding + the 4 PQ code columns,
+  ``partitionBy("cell")`` with cells assigned by the SHIPPED centroids
+  (queries/codebooks.py) — the same one-exchange-on-cell write any
+  partitioned ingest pays, amortized over every query thereafter. A marker
+  file records the source mtime so a regenerated corpus invalidates the
+  layout.
+- :func:`probe_cells_py` ranks the k shipped centroids against the query
+  vector driver-side. k is model metadata (8 here, ~2^16 at 100 TB) — this
+  is arithmetic on constants, not a data job, and it is what makes the
+  cell predicate a LITERAL the scan can prune partitions with. The fold is
+  sequential left-to-right (matching Spark's aggregate/zip_with and
+  DuckDB's list folds bit-for-bit), so the probe set is identical to the
+  in-plan broadcast ranking the unpruned twins use.
+
+Parity note: extends SURVEY §2.11 X3 (the reference has no ANN story);
+layout + probe mirror the FAISS IVF serving shape (Johnson et al. 2017).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_LAYOUT_ROOT = os.path.join(_REPO, ".ann_layout")
+
+
+def _seq_dot(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def py_cosine(a: list[float], b: list[float]) -> float:
+    """Sequential-fold cosine: the same operation sequence as the engine
+    expression ``dot(a,b)/(l2_norm(a)*l2_norm(b))`` (left-to-right
+    zip_with/aggregate folds), so results are bit-identical to the JVM and
+    DuckDB rankings — a probe-set tie can't flip between the pruned and
+    unpruned plans."""
+    na = 0.0
+    for x in a:
+        na = na + x * x
+    nb = 0.0
+    for y in b:
+        nb = nb + y * y
+    return _seq_dot(a, b) / (na**0.5 * nb**0.5)
+
+
+def probe_cells_py(
+    query: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """Top-``nprobe`` cells by cosine to the query, cell-asc tiebreak —
+    driver-side arithmetic on k x dim model constants (no Spark job)."""
+    ranked = sorted(
+        ((py_cosine(c, query), -cell) for cell, c in enumerate(centroids)),
+        reverse=True,
+    )
+    return [-neg for _, neg in ranked[:nprobe]]
+
+
+def cell_layout_path(sf_dir: str) -> str:
+    slug = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.basename(os.path.abspath(sf_dir).rstrip("/")) or "root"
+    return os.path.join(_LAYOUT_ROOT, f"{base}-{slug}")
+
+
+def _source_mtime(sf_dir: str) -> float:
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(src):  # chunked corpus: newest chunk
+        return max(
+            (os.path.getmtime(os.path.join(src, f)) for f in os.listdir(src)),
+            default=os.path.getmtime(src),
+        )
+    return os.path.getmtime(src)
+
+
+def ensure_cell_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: list[list[float]],
+    pq_books: list[list[list[float]]],
+    pq_sub_dim: int,
+) -> str:
+    """Write (once) and return the cell-partitioned serving layout for the
+    embeddings at ``sf_dir``: columns vec_id, embedding, c0..c{S-1},
+    hive-partitioned by the coarse cell. Idempotent: a marker records the
+    source mtime; the layout is rebuilt only if missing or stale."""
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        assign_cells,
+        pq_encode_cols,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    out = cell_layout_path(sf_dir)
+    marker = os.path.join(out, "_LAYOUT_META.json")
+    src_mtime = _source_mtime(sf_dir)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            meta = json.load(fh)
+        if meta.get("source_mtime") == src_mtime:
+            return out
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    (
+        vecs.select(
+            "vec_id",
+            "embedding",
+            *pq_encode_cols(F.col("v"), pq_books, pq_sub_dim),
+            assign_cells(F.col("v"), centroids).alias("cell"),
+        )
+        .repartition("cell")  # one exchange on cell: one writer per cell dir
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out)
+    )
+    with open(marker, "w") as fh:
+        json.dump({"source_mtime": src_mtime, "sf_dir": os.path.abspath(sf_dir)}, fh)
+    return out
+
+
+def read_cell_layout(spark: SparkSession, layout_path: str) -> DataFrame:
+    return spark.read.parquet(layout_path)

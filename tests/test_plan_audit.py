@@ -117,7 +117,9 @@ SHUFFLE_BUDGET = {
     "sim_pq_topk_fixed": 0,  # shipped codebook: scan + TakeOrderedAndProject
     "sim_topk_bruteforce": 0,
     "sim_topk_ivf": 0,
+    "sim_topk_ivf_pruned": 0,  # partition-pruned scan + TakeOrderedAndProject
     "sim_topk_ivfpq_fixed": 0,  # coarse cell broadcast-semi + ADC, no exchange
+    "sim_topk_ivfpq_pruned": 0,  # partition-pruned scan of code cols + ADC
     "sim_topk_kmeans_ivf": 0,
     "sim_topk_kmeans_ivf_fixed": 0,
     "sim_topk_pandas": 0,
