@@ -471,30 +471,120 @@ def brute_force_pairs(
     ).select("task", "is_self", "vid", "v", F.lit(1).alias("side"))
 
     def score(pdf):
-        import numpy as np
-        import pandas as pd
-
-        a = pdf[pdf["side"] == 0]
-        b = pdf[pdf["side"] == 1]
-        empty = pd.DataFrame({"id1": [], "id2": [], "cosine_sim": []})
-        if len(a) == 0:
-            return empty
-        if bool(pdf["is_self"].iloc[0]):  # self task: triangular within
-            return _pairs_within(a, threshold)
-        if len(b) == 0:  # cross task whose partner block is empty
-            return empty
-        ids_a, ids_b = a["vid"].to_numpy(), b["vid"].to_numpy()
-        ma = np.stack(a["v"].to_numpy()).astype(np.float64)
-        mb = np.stack(b["v"].to_numpy()).astype(np.float64)
-        ma /= np.sqrt((ma * ma).sum(axis=1, keepdims=True))
-        mb /= np.sqrt((mb * mb).sum(axis=1, keepdims=True))
-        s = np.round(ma @ mb.T, 6)
-        ii, jj = np.nonzero(s >= threshold)
-        id1 = np.minimum(ids_a[ii], ids_b[jj])
-        id2 = np.maximum(ids_a[ii], ids_b[jj])
-        return pd.DataFrame({"id1": id1, "id2": id2, "cosine_sim": s[ii, jj]})
+        return _score_sided(pdf, threshold)
 
     return as_a.unionByName(as_b).groupBy("task").applyInPandas(score, _PAIR_SCHEMA)
+
+
+def _score_sided(pdf, threshold: float):
+    """Score one block-pair task: triangular GEMM within side 0 when the
+    task is a self pair, full side-0 x side-1 GEMM otherwise."""
+    import numpy as np
+    import pandas as pd
+
+    a = pdf[pdf["side"] == 0]
+    b = pdf[pdf["side"] == 1]
+    empty = pd.DataFrame({"id1": [], "id2": [], "cosine_sim": []})
+    if len(a) == 0:
+        return empty
+    if bool(pdf["is_self"].iloc[0]):  # self task: triangular within
+        return _pairs_within(a, threshold)
+    if len(b) == 0:  # cross task whose partner block is empty
+        return empty
+    ids_a, ids_b = a["vid"].to_numpy(), b["vid"].to_numpy()
+    ma = np.stack(a["v"].to_numpy()).astype(np.float64)
+    mb = np.stack(b["v"].to_numpy()).astype(np.float64)
+    ma /= np.sqrt((ma * ma).sum(axis=1, keepdims=True))
+    mb /= np.sqrt((mb * mb).sum(axis=1, keepdims=True))
+    s = np.round(ma @ mb.T, 6)
+    ii, jj = np.nonzero(s >= threshold)
+    id1 = np.minimum(ids_a[ii], ids_b[jj])
+    id2 = np.maximum(ids_a[ii], ids_b[jj])
+    return pd.DataFrame({"id1": id1, "id2": id2, "cosine_sim": s[ii, jj]})
+
+
+def _cell_block_tasks(
+    cells: DataFrame,
+    target_rows: int,
+    id_col: str = "vid",
+    vec_col: str = "v",
+    cell_col: str = "cell",
+) -> tuple[DataFrame, dict[int, int]]:
+    """Salt hot cells into bounded block-pair tasks.
+
+    The cell histogram is ONE metadata-sized aggregate (k rows — k is the
+    codebook size, model metadata, never data-scale); each cell of n rows
+    splits into ceil(n / target_rows) blocks by id, and every block pair
+    (self pairs included) becomes one task. Rows attach to their tasks via
+    a single broadcast join + filter (the task table is O(sum nb²) tiny
+    rows), so the only data-scale exchange is the groupBy(task) that
+    follows. Returns the tagged frame plus the per-cell block count, so
+    tests can assert the bound directly.
+    """
+    spark = cells.sparkSession
+    sizes = cells.groupBy(cell_col).count().collect()
+    tasks: list[tuple[int, int, int, int, bool]] = []
+    nblocks: dict[int, int] = {}
+    tid = 0
+    for r in sizes:
+        nb = max(1, math.ceil(r["count"] / target_rows))
+        nblocks[r[cell_col]] = nb
+        for ba in range(nb):
+            for bb in range(ba, nb):
+                tasks.append((tid, r[cell_col], ba, bb, ba == bb))
+                tid += 1
+    tasks_df = spark.createDataFrame(
+        tasks, f"task long, {cell_col} int, ba int, bb int, is_self boolean"
+    )
+    nb_df = spark.createDataFrame(
+        [(c, n) for c, n in nblocks.items()], f"{cell_col} int, nb int"
+    )
+    tagged = (
+        cells.join(F.broadcast(nb_df), cell_col)
+        .withColumn("blk", (F.col(id_col) % F.col("nb")).cast("int"))
+        .join(F.broadcast(tasks_df), cell_col)
+        .filter((F.col("blk") == F.col("ba")) | (F.col("blk") == F.col("bb")))
+        .select(
+            "task",
+            "is_self",
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+            F.when(F.col("blk") == F.col("ba"), F.lit(0)).otherwise(F.lit(1)).alias("side"),
+        )
+    )
+    return tagged, nblocks
+
+
+def cell_blocked_pairs(
+    cells: DataFrame,
+    threshold: float,
+    target_rows: int = 4096,
+    id_col: str = "vid",
+    vec_col: str = "v",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """All (id1 < id2) cosine >= threshold pairs WITHIN each cell, with hot
+    cells salted into bounded tasks (VERDICT r6 ask #3).
+
+    A plain groupBy(cell) verify is one task per cell — correct while every
+    cell is near the expected occupancy, but a natural corpus concentrates
+    mass (the exact skew that made the banded path straggle at sf10): a
+    cell holding half the vectors becomes one O((n/2)² · dim) straggler.
+    This is the same blocked all-pairs trade brute_force_pairs makes,
+    applied per cell: blocks of ≤ target_rows rows, one task per block
+    pair, so every task is bounded at ~(2·target_rows)²·dim flops and
+    O(target_rows²) memory regardless of cell skew, and a hot cell turns
+    into nb(nb+1)/2 parallel tasks instead of one straggler. Replication is
+    nb× for the hot cell only; cells at or under target_rows degenerate to
+    exactly the one-task-per-cell plan. Pair set and 6-dp scores are
+    identical to the unsalted verify (same blocked GEMM, same global
+    triangle)."""
+    tagged, _ = _cell_block_tasks(cells, target_rows, id_col, vec_col, cell_col)
+
+    def score(pdf):
+        return _score_sided(pdf, threshold)
+
+    return tagged.groupBy("task").applyInPandas(score, _PAIR_SCHEMA)
 
 
 # -- deterministic Lloyd's k-means (oracle-expressible IVF training) ---------

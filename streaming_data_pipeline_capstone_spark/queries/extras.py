@@ -1252,35 +1252,32 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     across the corpus — the centroid bucket plays the role the band bucket
     plays in MinHash-LSH. At 100 TB the verify work is sum over cells of
     |cell|^2 instead of n^2: with k sized so cells hold ~1/k of the corpus
-    the pruning factor is ~k, and skewed cells split by salting the cell id
-    exactly like any hot groupBy key. One exchange on cell; the per-cell
-    GEMM is the same in-bucket verify the banded-LSH path runs.
+    the pruning factor is ~k. Skewed cells are SALTED (round 7): the
+    per-cell verify runs through cell_blocked_pairs, which splits any cell
+    above target_rows into block-pair tasks, so a hot cell holding half
+    the corpus becomes bounded parallel GEMMs instead of one straggler —
+    the skew fixture in tests/test_ann_deployment.py pins both the bound
+    and pair-set identity. One exchange on task (≡ cell while no cell
+    exceeds the target); the per-task GEMM is the same in-bucket verify
+    the banded-LSH path runs.
 
     Parity note: the brute-force twin (`dedup_embedding_cosine`,
     queries/llm_ops.py) is the mandated baseline; this row is its scale
     path, extending SURVEY §2.11 X2 (no reference twin — the reference has
     no embedding operators).
     """
-    from streaming_data_pipeline_capstone_spark.operators.similarity import assign_cells
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        assign_cells,
+        cell_blocked_pairs,
+    )
 
     vecs = _double_vecs(spark, sf_dir)
-    cells = vecs.withColumn("cell", assign_cells(F.col("v"), KMEANS_CENTROIDS))
-    a = cells.alias("a")
-    b = cells.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn("csim", cosine(F.col("a.v"), F.col("b.v")))
-        .filter(F.col("csim") >= 0.45)
-        .select(
-            F.col("a.vec_id").alias("id1"),
-            F.col("b.vec_id").alias("id2"),
-            F.round(F.col("csim"), 6).alias("cosine_sim"),
-        )
+    cells = vecs.select(
+        F.col("vec_id").alias("vid"),
+        "v",
+        assign_cells(F.col("v"), KMEANS_CENTROIDS).alias("cell"),
     )
+    return cell_blocked_pairs(cells, threshold=0.45, target_rows=4096)
 
 
 # -- partition-pruned ANN serving (VERDICT r6 ask #2) -------------------------

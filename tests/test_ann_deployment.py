@@ -124,6 +124,64 @@ def test_pruned_probe_reads_only_probed_partitions(spark, sf_oracle):
     assert scans2 and scans2[0]["numPartitions"] == _NPROBE, scans2
 
 
+def test_semantic_cells_hot_cell_salting(spark):
+    """Skew fixture (VERDICT r6 ask #3): one cell holds ~half the vectors.
+    cell_blocked_pairs must (a) split the hot cell into multiple bounded
+    tasks — no task sees more than 2x target_rows rows, so task memory and
+    GEMM time are bounded regardless of skew — and (b) emit exactly the
+    pair set of an unsalted within-cell brute force, at identical 6-dp
+    scores."""
+    import math
+
+    import numpy as np
+
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        _cell_block_tasks,
+        cell_blocked_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim, target = 1200, 16, 100
+    # cells 0..3 by construction: a hot cell with ~half the mass, the rest
+    # spread evenly — the shape a natural (clustered) corpus has
+    cell_of = np.where(rng.random(n) < 0.5, 0, rng.integers(1, 4, size=n))
+    base = rng.normal(0.0, 1.0, size=(4, dim))
+    vecs = base[cell_of] + rng.normal(0.0, 0.35, size=(n, dim))
+    df = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in vecs[i]], int(cell_of[i]))
+            for i in range(n)
+        ],
+        "vid long, v array<double>, cell int",
+    )
+
+    # (a) the hot cell splits; every task input is bounded
+    tagged, nblocks = _cell_block_tasks(df, target)
+    hot = int(np.bincount(cell_of).argmax())
+    assert nblocks[hot] == math.ceil((cell_of == hot).sum() / target) > 1
+    task_sizes = {r["task"]: r["count"] for r in tagged.groupBy("task").count().collect()}
+    assert max(task_sizes.values()) <= 2 * target
+    # hot cell runs as nb(nb+1)/2 parallel tasks, not one straggler
+    assert len(task_sizes) >= nblocks[hot] * (nblocks[hot] + 1) // 2
+
+    # (b) pair set + scores identical to the unsalted within-cell verify
+    got = {
+        (r.id1, r.id2): r.cosine_sim
+        for r in cell_blocked_pairs(df, threshold=0.9, target_rows=target).collect()
+    }
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(norms @ norms.T, 6)
+    expect = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cell_of[i] == cell_of[j] and sims[i, j] >= 0.9:
+                expect[(i, j)] = sims[i, j]
+    assert expect, "fixture should contain same-cell near-duplicates"
+    assert got.keys() == expect.keys()
+    for pair, sim in got.items():
+        assert abs(sim - expect[pair]) < 1e-9
+
+
 def test_ivfpq_probe_recall_vs_full_adc(spark, sf_oracle):
     """Probe recall gate, measured against the right baseline: IVF-PQ =
     cell filter + the SAME ADC scoring as sim_pq_topk_fixed, so what the

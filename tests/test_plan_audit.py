@@ -111,7 +111,7 @@ SHUFFLE_BUDGET = {
     "sim_lsh_pairs_banded": 2,  # band-bucket groupBy + cross-band distinct
     "sim_lsh_pairs_banded_scaled": 2,  # same plan, corpus-scaled (planes, bands)
 
-    "dedup_semantic_cells": 0,  # at this SF the cell self-join broadcasts; at scale: one exchange on cell
+    "dedup_semantic_cells": 1,  # one exchange on task (= salted cell); broadcast task table
     "emb_pq_encode_fixed": 0,  # shipped codebook: pure per-row exprs
     "sim_pq_topk": 0,  # ADC lookups vs literal tables + TakeOrderedAndProject
     "sim_pq_topk_fixed": 0,  # shipped codebook: scan + TakeOrderedAndProject
