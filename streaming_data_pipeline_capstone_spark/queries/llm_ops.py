@@ -261,15 +261,16 @@ def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # banded OR-amplification: same verify-exact pair semantics, recall raised
 # from p^planes to 1-(1-p^planes)^bands. The oracle unions per-band bucket
 # joins and dedups — training-free, fully SQL-expressible.
-@register(
-    "sim_lsh_pairs_banded",
-    f"""
+def _banded_oracle(planes: int, bands: int, threshold: float) -> str:
+    """Unrolled banded-LSH oracle at a FIXED (planes, bands) config — the
+    config the corpus-scaling rule resolves to at the driver's gate SFs."""
+    return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     bands AS (
       {" UNION ALL ".join(
           f'''SELECT vec_id, v, {b} AS band,
-              {_lsh_sig_sql(_BAND_PLANES, b * _BAND_PLANES)} AS s FROM e'''
-          for b in range(_N_BANDS)
+              {_lsh_sig_sql(planes, b * planes)} AS s FROM e'''
+          for b in range(bands)
       )}
     )
     SELECT DISTINCT id1, id2, cosine_sim FROM (
@@ -277,9 +278,11 @@ def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.s = b.s AND a.vec_id < b.vec_id
-    ) WHERE cosine_sim >= {_SIM_T}
-    """,
-)
+    ) WHERE cosine_sim >= {threshold}
+    """
+
+
+@register("sim_lsh_pairs_banded", _banded_oracle(_BAND_PLANES, _N_BANDS, _SIM_T))
 def sim_lsh_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return lsh_similar_pairs(
@@ -300,25 +303,7 @@ def sim_lsh_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly (4, 16), which is what the static oracle below unrolls; at
 # sf10's 200k vectors it scales to (7, 66). The corpus count that picks
 # the config is one metadata-only parquet count job.
-@register(
-    "sim_lsh_pairs_banded_scaled",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    bands AS (
-      {" UNION ALL ".join(
-          f'''SELECT vec_id, v, {b} AS band,
-              {_lsh_sig_sql(_BAND_PLANES, b * _BAND_PLANES)} AS s FROM e'''
-          for b in range(_N_BANDS)
-      )}
-    )
-    SELECT DISTINCT id1, id2, cosine_sim FROM (
-      SELECT a.vec_id AS id1, b.vec_id AS id2,
-             round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.s = b.s AND a.vec_id < b.vec_id
-    ) WHERE cosine_sim >= {_SIM_T}
-    """,
-)
+@register("sim_lsh_pairs_banded_scaled", _banded_oracle(_BAND_PLANES, _N_BANDS, _SIM_T))
 def sim_lsh_pairs_banded_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_pipeline_capstone_spark.operators.similarity import banded_lsh_config
 
@@ -326,6 +311,36 @@ def sim_lsh_pairs_banded_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes, bands = banded_lsh_config(emb.count(), threshold=_SIM_T)
     return lsh_similar_pairs(
         emb, threshold=_SIM_T, num_planes=planes, dim=_DIM, num_bands=bands
+    )
+
+
+# near-dup-threshold banded variant (VERDICT r6 ask #4 context): 0.4 is the
+# deliberately-low stress threshold, but it sits only ~3.2 sd above the
+# RANDOM-pair cosine noise at dim=64 (sd ~ 1/sqrt(dim) = 0.125), so pair
+# output is quadratic in n for ANY corpus — the bulk tail, not duplicates.
+# Real near-dup dedup runs at a threshold far above the bulk (0.7 here =
+# 5.6 sd: expected random-tail pairs ~0 even at 2e10 candidate pairs), where
+# output tracks the corpus's actual duplicate density — linear in n when
+# density is constant, which is what the natural-growth decade measures.
+# The driver's gate corpora contain no >=0.7 pairs (max pair cosine 0.51),
+# so the oracle certifies empty-set agreement at the gate config (4, 8);
+# the SEMANTICS are pinned by tests/test_llm_ops.py's planted-fixture
+# recall/precision gate against brute_force_pairs at the same threshold.
+_NEARDUP_T = 0.7
+_NEARDUP_GATE_PLANES, _NEARDUP_GATE_BANDS = 4, 8  # banded_lsh_config(500, 0.7)
+
+
+@register(
+    "sim_lsh_pairs_banded_neardup",
+    _banded_oracle(_NEARDUP_GATE_PLANES, _NEARDUP_GATE_BANDS, _NEARDUP_T),
+)
+def sim_lsh_pairs_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_pipeline_capstone_spark.operators.similarity import banded_lsh_config
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    planes, bands = banded_lsh_config(emb.count(), threshold=_NEARDUP_T)
+    return lsh_similar_pairs(
+        emb, threshold=_NEARDUP_T, num_planes=planes, dim=_DIM, num_bands=bands
     )
 
 

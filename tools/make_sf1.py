@@ -27,9 +27,23 @@ Two tables need more than key offsets to avoid DEGENERATE scaling:
   delimiter makes the prefix prefix-free for any replica count.
   n_chars is recomputed from the rewritten text.
 - embeddings: verbatim copies would make every vector its own 10-way
-  exact tie in similarity queries. Replica r>0 gets seeded N(0, 0.02)
-  noise per component (numpy, seed=r), preserving cluster structure
-  while keeping vectors distinct.
+  exact tie in similarity queries. Two modes (``--emb-mode``):
+
+  * ``noise`` (default, the r5/r6 corpora): replica r>0 gets seeded
+    N(0, 0.02) noise per component (numpy, seed=r). Cluster structure is
+    preserved, but cross-replica copies of one base vector stay near-dups
+    (cos ~0.97), so pair-enumeration output grows QUADRATICALLY in the
+    replica count — a worst-case duplicate-explosion corpus, honest for
+    throughput but wrong for reading a time-vs-input exponent.
+  * ``rotate`` (VERDICT r6 ask #4, the natural-growth corpus): replica
+    r>0 is the base matrix times a seeded random ORTHOGONAL matrix (QR of
+    a seed-r Gaussian). Rotation preserves every intra-replica cosine
+    EXACTLY — near-dup density per replica is constant by construction,
+    the same isomorphic-remap trick the documents' token rewrite uses —
+    while cross-replica similarity collapses to that of random vectors
+    (E[cos]=0, sd~1/sqrt(dim)=0.125), far below every query threshold. So
+    output grows ~linearly with input and the decade reads time-vs-input
+    like every other query.
 
 Everything is seeded/closed-form: two runs produce byte-identical
 logical content (row order within parquet row groups may differ; every
@@ -133,6 +147,16 @@ def main() -> None:
         "Use for sf100, where only the headline-query tables are benched "
         "and e.g. 'part' would be 17 GB of dead weight",
     )
+    ap.add_argument(
+        "--emb-mode",
+        choices=("noise", "rotate"),
+        default="noise",
+        help="embeddings replication: 'noise' keeps cross-replica copies "
+        "near-identical (duplicate-explosion corpus, quadratic pair "
+        "output); 'rotate' applies a seeded orthogonal rotation per "
+        "replica (natural-growth corpus: intra-replica cosines exactly "
+        "preserved, cross-replica similarity random, ~linear pair output)",
+    )
     args = ap.parse_args()
     REPLICAS = args.replicas
     CHUNKS = args.chunks
@@ -220,6 +244,12 @@ def main() -> None:
         for r in range(r_lo, r_hi):
             if r == 0:
                 vecs = mat
+            elif args.emb_mode == "rotate":
+                rng = np.random.default_rng(r)
+                g = rng.normal(0.0, 1.0, size=(mat.shape[1], mat.shape[1]))
+                q, rr = np.linalg.qr(g)
+                q *= np.sign(np.diag(rr))  # canonical sign: Q unique given g
+                vecs = (mat.astype(np.float64) @ q.T).astype(np.float32)
             else:
                 rng = np.random.default_rng(r)
                 vecs = mat + rng.normal(0.0, 0.02, size=mat.shape).astype(np.float32)
