@@ -86,6 +86,24 @@ def cell_layout_path(sf_dir: str) -> str:
     return os.path.join(_LAYOUT_ROOT, f"{base}-{slug}")
 
 
+def _model_hash(
+    centroids: list[list[float]],
+    pq_books: list[list[list[float]]],
+    pq_sub_dim: int,
+) -> str:
+    """Content hash of the codebook artifacts baked into the layout. The
+    layout stores cell assignments AND PQ codes computed from these
+    constants; if the shipped model is retrained, a layout keyed only on
+    source mtime would be silently reused while probe_cells_py ranks with
+    the NEW centroids — the pruned probes would diverge from their
+    full-scan twins. Hash mismatch forces a rebuild."""
+    payload = json.dumps(
+        {"centroids": centroids, "pq_books": pq_books, "pq_sub_dim": pq_sub_dim},
+        sort_keys=True,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
 def _source_mtime(sf_dir: str) -> float:
     src = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.isdir(src):  # chunked corpus: newest chunk
@@ -116,10 +134,14 @@ def ensure_cell_layout(
     out = cell_layout_path(sf_dir)
     marker = os.path.join(out, "_LAYOUT_META.json")
     src_mtime = _source_mtime(sf_dir)
+    model_hash = _model_hash(centroids, pq_books, pq_sub_dim)
     if os.path.exists(marker):
         with open(marker) as fh:
             meta = json.load(fh)
-        if meta.get("source_mtime") == src_mtime:
+        if (
+            meta.get("source_mtime") == src_mtime
+            and meta.get("model_hash") == model_hash
+        ):
             return out
     emb = read_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
@@ -140,7 +162,14 @@ def ensure_cell_layout(
         .parquet(out)
     )
     with open(marker, "w") as fh:
-        json.dump({"source_mtime": src_mtime, "sf_dir": os.path.abspath(sf_dir)}, fh)
+        json.dump(
+            {
+                "source_mtime": src_mtime,
+                "model_hash": model_hash,
+                "sf_dir": os.path.abspath(sf_dir),
+            },
+            fh,
+        )
     return out
 
 

@@ -461,7 +461,10 @@ def brute_force_pairs(
     tagged = corpus.select(
         F.col(id_col).alias("vid"),
         _as_double(vec_col).alias("v"),
-        (F.col(id_col) % num_blocks).cast("int").alias("blk"),
+        # pmod(hash(.)) not id % nb: raw mod collapses blocks for ids
+        # sharing a factor with nb and maps negative ids to negative
+        # remainders no task matches (silent row drop)
+        F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks)).cast("int").alias("blk"),
     )
     as_a = tagged.join(tasks_df, tagged.blk == tasks_df.ba).select(
         "task", "is_self", "vid", "v", F.lit(0).alias("side")
@@ -514,43 +517,55 @@ def _cell_block_tasks(
 
     The cell histogram is ONE metadata-sized aggregate (k rows — k is the
     codebook size, model metadata, never data-scale); each cell of n rows
-    splits into ceil(n / target_rows) blocks by id, and every block pair
-    (self pairs included) becomes one task. Rows attach to their tasks via
-    a single broadcast join + filter (the task table is O(sum nb²) tiny
-    rows), so the only data-scale exchange is the groupBy(task) that
-    follows. Returns the tagged frame plus the per-cell block count, so
-    tests can assert the bound directly.
+    splits into ceil(n / target_rows) blocks, and every block pair (self
+    pairs included) becomes one task keyed (cell, ba, bb). Two round-7
+    ADVICE fixes shape the mechanics:
+
+    - the block key is ``pmod(hash(id), nb)`` — a raw ``id % nb`` only
+      balances for ids uniform mod nb (ids sharing a factor with nb
+      collapse blocks back into a straggler) and a negative id yields a
+      negative remainder in Spark that no (ba, bb) task would match,
+      silently dropping the row;
+    - tasks are generated DISTRIBUTEDLY: each row explodes into its own
+      nb tasks (side 0 for partners >= its block, side 1 for partners
+      below), so no O(sum nb²) task list is ever materialized on the
+      driver or broadcast — for the motivating skew case (one cell
+      holding half a 100 TB corpus) the old task table alone was billions
+      of driver-side tuples. Per-row replication is nb× either way; the
+      only data-scale exchange remains the groupBy task key that follows.
+
+    Returns the tagged frame plus the per-cell block count, so tests can
+    assert the bound directly.
     """
     spark = cells.sparkSession
     sizes = cells.groupBy(cell_col).count().collect()
-    tasks: list[tuple[int, int, int, int, bool]] = []
-    nblocks: dict[int, int] = {}
-    tid = 0
-    for r in sizes:
-        nb = max(1, math.ceil(r["count"] / target_rows))
-        nblocks[r[cell_col]] = nb
-        for ba in range(nb):
-            for bb in range(ba, nb):
-                tasks.append((tid, r[cell_col], ba, bb, ba == bb))
-                tid += 1
-    tasks_df = spark.createDataFrame(
-        tasks, f"task long, {cell_col} int, ba int, bb int, is_self boolean"
-    )
+    nblocks: dict[int, int] = {
+        r[cell_col]: max(1, math.ceil(r["count"] / target_rows)) for r in sizes
+    }
     nb_df = spark.createDataFrame(
         [(c, n) for c, n in nblocks.items()], f"{cell_col} int, nb int"
     )
-    tagged = (
-        cells.join(F.broadcast(nb_df), cell_col)
-        .withColumn("blk", (F.col(id_col) % F.col("nb")).cast("int"))
-        .join(F.broadcast(tasks_df), cell_col)
-        .filter((F.col("blk") == F.col("ba")) | (F.col("blk") == F.col("bb")))
-        .select(
-            "task",
-            "is_self",
-            F.col(id_col).alias("vid"),
-            F.col(vec_col).alias("v"),
-            F.when(F.col("blk") == F.col("ba"), F.lit(0)).otherwise(F.lit(1)).alias("side"),
-        )
+    blocked = cells.join(F.broadcast(nb_df), cell_col).withColumn(
+        "blk", F.pmod(F.hash(F.col(id_col)), F.col("nb")).cast("int")
+    )
+    as_a = blocked.select(
+        F.col(cell_col).alias("tcell"),
+        F.col("blk").alias("ba"),
+        F.explode(F.sequence(F.col("blk"), F.col("nb") - F.lit(1))).alias("bb"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.lit(0).alias("side"),
+    )
+    as_b = blocked.filter(F.col("blk") > 0).select(
+        F.col(cell_col).alias("tcell"),
+        F.explode(F.sequence(F.lit(0), F.col("blk") - F.lit(1))).alias("ba"),
+        F.col("blk").alias("bb"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.lit(1).alias("side"),
+    )
+    tagged = as_a.unionByName(as_b).withColumn(
+        "is_self", F.col("ba") == F.col("bb")
     )
     return tagged, nblocks
 
@@ -584,7 +599,7 @@ def cell_blocked_pairs(
     def score(pdf):
         return _score_sided(pdf, threshold)
 
-    return tagged.groupBy("task").applyInPandas(score, _PAIR_SCHEMA)
+    return tagged.groupBy("tcell", "ba", "bb").applyInPandas(score, _PAIR_SCHEMA)
 
 
 # -- deterministic Lloyd's k-means (oracle-expressible IVF training) ---------

@@ -1237,10 +1237,11 @@ def _semantic_cells_oracle() -> str:
             ]
         )
         + """
-    SELECT a.vec_id AS id1, b.vec_id AS id2,
-           round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
-    FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    SELECT * FROM (
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+      FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ) WHERE cosine_sim >= 0.45
     """
     )
 

@@ -155,12 +155,18 @@ def test_semantic_cells_hot_cell_salting(spark):
         "vid long, v array<double>, cell int",
     )
 
-    # (a) the hot cell splits; every task input is bounded
+    # (a) the hot cell splits; every task input is bounded. Blocks are
+    # assigned by pmod(hash(id), nb), so block sizes are binomial around
+    # target rather than exactly target — allow the small hash-variance
+    # slack on top of the 2x two-block bound.
     tagged, nblocks = _cell_block_tasks(df, target)
     hot = int(np.bincount(cell_of).argmax())
     assert nblocks[hot] == math.ceil((cell_of == hot).sum() / target) > 1
-    task_sizes = {r["task"]: r["count"] for r in tagged.groupBy("task").count().collect()}
-    assert max(task_sizes.values()) <= 2 * target
+    task_sizes = {
+        (r["tcell"], r["ba"], r["bb"]): r["count"]
+        for r in tagged.groupBy("tcell", "ba", "bb").count().collect()
+    }
+    assert max(task_sizes.values()) <= 2.5 * target
     # hot cell runs as nb(nb+1)/2 parallel tasks, not one straggler
     assert len(task_sizes) >= nblocks[hot] * (nblocks[hot] + 1) // 2
 
@@ -180,6 +186,49 @@ def test_semantic_cells_hot_cell_salting(spark):
     assert got.keys() == expect.keys()
     for pair, sim in got.items():
         assert abs(sim - expect[pair]) < 1e-9
+
+
+def test_blocked_pairs_structured_and_negative_ids(spark):
+    """Round-7 ADVICE regression: block keys come from pmod(hash(id), nb),
+    not id % nb. With raw mod, (a) ids sharing a common factor with nb
+    collapse into few blocks (straggler returns), and (b) negative ids get
+    negative remainders that match no (ba, bb) task — rows silently
+    vanish from the verify. Fixture: all-even ids including negatives, one
+    cell, nb > 1; the pair set must equal the numpy all-pairs reference."""
+    import numpy as np
+
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        _cell_block_tasks,
+        cell_blocked_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim, target = 300, 8, 60
+    ids = [2 * (i - n // 2) for i in range(n)]  # even, half negative
+    vecs = rng.normal(0.0, 1.0, size=(n, dim))
+    df = spark.createDataFrame(
+        [(int(ids[i]), [float(x) for x in vecs[i]], 0) for i in range(n)],
+        "vid long, v array<double>, cell int",
+    )
+    tagged, nblocks = _cell_block_tasks(df, target)
+    assert nblocks[0] == 5
+    # every row lands in a valid block: side-0 rows appear once per row
+    side0 = tagged.filter("side = 0 and ba = bb").count()
+    assert side0 == n, "negative/structured ids must not drop rows"
+    got = {
+        (r.id1, r.id2): r.cosine_sim
+        for r in cell_blocked_pairs(df, threshold=0.3, target_rows=target).collect()
+    }
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(norms @ norms.T, 6)
+    expect = {}
+    for i in range(n):
+        for j in range(n):
+            if i < j and sims[i, j] >= 0.3:
+                a, b = sorted((ids[i], ids[j]))
+                expect[(a, b)] = sims[i, j]
+    assert expect
+    assert got.keys() == expect.keys()
 
 
 def test_ivfpq_probe_recall_vs_full_adc(spark, sf_oracle):

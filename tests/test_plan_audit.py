@@ -110,8 +110,9 @@ SHUFFLE_BUDGET = {
     "sim_lsh_pairs": 1,
     "sim_lsh_pairs_banded": 2,  # band-bucket groupBy + cross-band distinct
     "sim_lsh_pairs_banded_scaled": 2,  # same plan, corpus-scaled (planes, bands)
+    "sim_lsh_pairs_banded_neardup": 2,  # same plan at the 0.7 near-dup threshold
 
-    "dedup_semantic_cells": 1,  # one exchange on task (= salted cell); broadcast task table
+    "dedup_semantic_cells": 1,  # one exchange on (cell, ba, bb) task key; tasks exploded per row, no driver task table
     "emb_pq_encode_fixed": 0,  # shipped codebook: pure per-row exprs
     "sim_pq_topk": 0,  # ADC lookups vs literal tables + TakeOrderedAndProject
     "sim_pq_topk_fixed": 0,  # shipped codebook: scan + TakeOrderedAndProject

@@ -149,7 +149,7 @@ def main() -> None:
     )
     ap.add_argument(
         "--emb-mode",
-        choices=("noise", "rotate"),
+        choices=("noise", "rotate", "rotate-dup"),
         default="noise",
         help="embeddings replication: 'noise' keeps cross-replica copies "
         "near-identical (duplicate-explosion corpus, quadratic pair "
@@ -244,7 +244,7 @@ def main() -> None:
         for r in range(r_lo, r_hi):
             if r == 0:
                 vecs = mat
-            elif args.emb_mode == "rotate":
+            elif args.emb_mode in ("rotate", "rotate-dup"):
                 rng = np.random.default_rng(r)
                 g = rng.normal(0.0, 1.0, size=(mat.shape[1], mat.shape[1]))
                 q, rr = np.linalg.qr(g)
@@ -253,6 +253,26 @@ def main() -> None:
             else:
                 rng = np.random.default_rng(r)
                 vecs = mat + rng.normal(0.0, 0.02, size=mat.shape).astype(np.float32)
+            if args.emb_mode == "rotate-dup":
+                # Plant a CONSTANT per-replica near-dup density: the last
+                # 2% of each replica's rows are overwritten with noisy
+                # copies of its first 2% (cos ~0.93 at sigma=0.4x the
+                # component scale — above the 0.7 near-dup threshold, well
+                # below 1.0 so the pair isn't an exact tie). The driver's
+                # sf0.1 corpus has ZERO >=0.7 pairs, so a pure-rotate
+                # decade of the neardup query reads 0 -> 0 output; this
+                # mode gives the decade a nonzero linear pair count to
+                # read (pairs = k per replica, replicas x growth -> 10x),
+                # which is what "near-dup density stays constant under
+                # natural growth" means. Seeded per replica: byte-stable.
+                vecs = vecs.copy()
+                n_rows = vecs.shape[0]
+                k = max(1, n_rows // 50)
+                rng2 = np.random.default_rng(10_000 + r)
+                scale = float(vecs.std())
+                vecs[n_rows - k :] = vecs[:k] + rng2.normal(
+                    0.0, 0.4 * scale, size=(k, vecs.shape[1])
+                ).astype(np.float32)
             out_ids.append(vec_ids + r * STRIDE)
             out_labels.append(labels)
             out_vecs.append(vecs)
