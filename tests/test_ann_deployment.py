@@ -188,6 +188,52 @@ def test_semantic_cells_hot_cell_salting(spark):
         assert abs(sim - expect[pair]) < 1e-9
 
 
+def test_cell_layout_invalidated_by_model_change(spark, tmp_path):
+    """Round-7 ADVICE (medium): the layout marker must key on the MODEL
+    content, not just the source mtime — a retrained codebook with an
+    unchanged corpus must rebuild the layout (its stored cell assignments
+    and PQ codes were computed with the old model), not silently reuse
+    it while probe_cells_py ranks with the new centroids."""
+    import json
+    import os
+    import shutil
+
+    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+        cell_layout_path,
+        ensure_cell_layout,
+    )
+    from streaming_data_pipeline_capstone_spark.queries.codebooks import (
+        KMEANS_CENTROIDS,
+        PQ_BOOKS,
+    )
+
+    sf_dir = str(tmp_path / "corpus")
+    os.makedirs(sf_dir)
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        os.path.join(sf_dir, "embeddings.parquet"),
+    )
+    out = ensure_cell_layout(spark, sf_dir, KMEANS_CENTROIDS, PQ_BOOKS, 16)
+    marker = os.path.join(out, "_LAYOUT_META.json")
+    with open(marker) as fh:
+        meta1 = json.load(fh)
+    assert meta1.get("model_hash")
+
+    # same model, same source -> reuse (marker untouched)
+    mtime1 = os.path.getmtime(marker)
+    assert ensure_cell_layout(spark, sf_dir, KMEANS_CENTROIDS, PQ_BOOKS, 16) == out
+    assert os.path.getmtime(marker) == mtime1
+
+    # "retrained" centroids (perturb one component) -> rebuild
+    retrained = [list(c) for c in KMEANS_CENTROIDS]
+    retrained[0][0] += 0.25
+    assert ensure_cell_layout(spark, sf_dir, retrained, PQ_BOOKS, 16) == out
+    with open(marker) as fh:
+        meta2 = json.load(fh)
+    assert meta2["model_hash"] != meta1["model_hash"]
+    shutil.rmtree(cell_layout_path(sf_dir), ignore_errors=True)
+
+
 def test_blocked_pairs_structured_and_negative_ids(spark):
     """Round-7 ADVICE regression: block keys come from pmod(hash(id), nb),
     not id % nb. With raw mod, (a) ids sharing a common factor with nb
