@@ -83,6 +83,11 @@ def probe_cells_py(
 def cell_layout_path(sf_dir: str) -> str:
     slug = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     base = os.path.basename(os.path.abspath(sf_dir).rstrip("/")) or "root"
+    # a leading dot (e.g. the .sf1 scale corpus) would make the layout dir
+    # HIDDEN to Spark's file index — explicitly-passed root paths still
+    # read today, but with a "All paths were ignored" WARN and on
+    # version-fragile behavior; keep the leaf name visible
+    base = base.lstrip(".") or "root"
     return os.path.join(_LAYOUT_ROOT, f"{base}-{slug}")
 
 
