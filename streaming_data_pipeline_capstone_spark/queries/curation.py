@@ -598,3 +598,213 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# -- end-to-end curation pipeline ---------------------------------------------
+# The composition a training-data pipeline actually runs, as ONE declarative
+# plan: benchmark-slice removal -> near-dup keep-list -> composite quality
+# filter -> 8-gram decontamination -> token-budget packing. Every stage is
+# an already-oracle-green registry query; this row pins that they compose
+# (the funnel's joins are all doc_id-keyed, so the stages co-partition on
+# one key and AQE coalesces the chain). At 100 TB each stage's keep-list
+# would be checkpointed parquet between jobs rather than recomputed in one
+# plan — the LOGICAL funnel and its semantics are identical; Spark just
+# re-scans `documents` per stage here, which is the single-plan trade.
+#
+# Parity note: extends SURVEY §2.11 (no reference twin — the reference has
+# no corpus-curation stage); published-recipe shape per Gopher/RefinedWeb
+# (quality + dedup + decontam, then pack).
+
+
+def _curation_ctes() -> str:
+    """Shared CTE prefix: the dedup keep-set (dd), the quality-pass set
+    (qok), the contaminated set (contaminated), and the survivor frame
+    (surv) with per-doc token counts — verbatim recompositions of the
+    dedup_keep_list / quality_filter_composite / decontam_ngram_overlap_w8
+    oracles with disambiguated CTE names."""
+    lang_allow = ", ".join("'" + l + "'" for l in _LANG_ALLOW)
+    return rf"""
+    WITH RECURSIVE sets AS (
+      SELECT doc_id AS doc,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(t)-1),
+                         i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) END AS shingles
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+            FROM documents)
+    ),
+    sh AS (SELECT doc, unnest(shingles) AS s FROM sets),
+    cand AS (
+      SELECT DISTINCT a.doc AS d1, b.doc AS d2
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+    ),
+    verified AS (
+      SELECT d1, d2 FROM cand
+      JOIN sets s1 ON s1.doc = d1 JOIN sets s2 ON s2.doc = d2
+      WHERE round(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+              / (len(s1.shingles) + len(s2.shingles)
+                 - len(list_intersect(s1.shingles, s2.shingles))), 6) >= 0.6
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM verified
+      UNION SELECT d2, d1 FROM verified
+    ),
+    reach AS (
+      SELECT a AS d, a AS m FROM edges
+      UNION
+      SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.d
+    ),
+    comp AS (SELECT d AS node, MIN(m) AS component FROM reach GROUP BY d),
+    dd AS (
+      SELECT doc_id FROM documents LEFT JOIN comp ON comp.node = doc_id
+      WHERE comp.component IS NULL OR comp.component = doc_id
+    ),
+    qs AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\s+') AS t,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+             greatest(length(text), 1) AS n_chars
+      FROM documents
+    ),
+    qok AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, lang,
+               len(t) AS n_tokens,
+               CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT)))
+                    AS DOUBLE) / greatest(len(t), 1) AS mean_tok,
+               CAST(n_digits AS DOUBLE) / n_chars AS digit_frac
+        FROM qs
+      )
+      WHERE lang IN ({lang_allow})
+        AND n_tokens BETWEEN {_CMP_MIN_TOKENS} AND {_CMP_MAX_TOKENS}
+        AND mean_tok BETWEEN {_MIN_MEAN_TOK} AND {_MAX_MEAN_TOK}
+        AND digit_frac <= {_MAX_DIGIT_FRAC}
+    ),
+    dt AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    dg AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - {_DECON_N_W8} + 2),
+                      i -> array_to_string(list_slice(t, i, i + {_DECON_N_W8} - 1), ' '))) AS gram
+        FROM dt WHERE len(t) >= {_DECON_N_W8}
+      )
+    ),
+    deg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % {_EVAL_MOD} = 0),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id FROM dg g JOIN deg USING (gram)
+      WHERE g.doc_id % {_EVAL_MOD} <> 0
+    ),
+    surv AS (
+      SELECT d.doc_id, d.lang,
+             len(string_split_regex(lower(trim(d.text)), '\s+')) AS n_tok
+      FROM documents d
+      JOIN dd USING (doc_id)
+      JOIN qok USING (doc_id)
+      WHERE d.doc_id % {_EVAL_MOD} <> 0
+        AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+    )
+    """
+
+
+def _survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_data_pipeline_capstone_spark.queries.quality import (
+        dedup_keep_list,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    dd = dedup_keep_list(spark, sf_dir).filter("keep").select("doc_id")
+    qok = quality_filter_composite(spark, sf_dir).filter("keep").select("doc_id")
+    cont = decontam_ngram_overlap_w8(spark, sf_dir).select("doc_id")
+    return (
+        docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(dd, "doc_id")
+        .join(qok, "doc_id")
+        .join(cont, "doc_id", "left_anti")
+    )
+
+
+@register(
+    "pipeline_curation_full",
+    _curation_ctes()
+    + rf"""
+    , w AS (
+      SELECT doc_id, lang, n_tok,
+             CAST(floor(coalesce(SUM(n_tok) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+      FROM surv
+    )
+    SELECT lang, bin_id,
+           count(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM w GROUP BY lang, bin_id
+    """,
+)
+def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    surv = _survivors(spark, sf_dir).select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    binned = surv.withColumn(
+        "bin_id", F.floor(cum_excl / _PACK_BUDGET).cast("bigint")
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("tok_total"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "curation_report",
+    _curation_ctes()
+    + f"""
+    SELECT 'total' AS stage, count(*) AS n_docs FROM documents
+    UNION ALL
+    SELECT 'eval_slice', count(*) FROM documents WHERE doc_id % {_EVAL_MOD} = 0
+    UNION ALL
+    SELECT 'after_dedup', count(*) FROM dd
+    UNION ALL
+    SELECT 'after_quality', count(*) FROM dd JOIN qok USING (doc_id)
+    UNION ALL
+    SELECT 'after_decontam', count(*) FROM surv
+    """,
+)
+def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel report: documents surviving each curation stage (cumulative —
+    after_quality counts docs passing dedup AND quality; after_decontam is
+    the final survivor set, which also excludes the eval slice). Each count
+    is one map-side-combined aggregate; the union is 5 single-row frames."""
+    from streaming_data_pipeline_capstone_spark.queries.quality import (
+        dedup_keep_list,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    dd = dedup_keep_list(spark, sf_dir).filter("keep").select("doc_id")
+    qok = quality_filter_composite(spark, sf_dir).filter("keep").select("doc_id")
+
+    def one(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs"
+        )
+
+    return (
+        one("total", docs)
+        .unionByName(one("eval_slice", docs.filter(F.col("doc_id") % _EVAL_MOD == 0)))
+        .unionByName(one("after_dedup", dd))
+        .unionByName(one("after_quality", dd.join(qok, "doc_id")))
+        .unionByName(one("after_decontam", _survivors(spark, sf_dir)))
+    )

@@ -111,6 +111,8 @@ SHUFFLE_BUDGET = {
     "sim_lsh_pairs_banded": 2,  # band-bucket groupBy + cross-band distinct
     "sim_lsh_pairs_banded_scaled": 2,  # same plan, corpus-scaled (planes, bands)
     "sim_lsh_pairs_banded_neardup": 2,  # same plan at the 0.7 near-dup threshold
+    "pipeline_curation_full": 5,  # dedup keep-list chain + doc_id joins + pack window + rollup
+    "curation_report": 13,  # five funnel counts, each a map-side-combined agg over its stage subplan
 
     "dedup_semantic_cells": 1,  # one exchange on (cell, ba, bb) task key; tasks exploded per row, no driver task table
     "emb_pq_encode_fixed": 0,  # shipped codebook: pure per-row exprs
