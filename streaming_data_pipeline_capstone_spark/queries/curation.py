@@ -786,25 +786,54 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel report: documents surviving each curation stage (cumulative —
     after_quality counts docs passing dedup AND quality; after_decontam is
-    the final survivor set, which also excludes the eval slice). Each count
-    is one map-side-combined aggregate; the union is 5 single-row frames."""
+    the final survivor set, which also excludes the eval slice).
+
+    Shape: ONE pass, not five. Each stage's verdict frame is computed once
+    (dedup keep-list and quality cover every doc; contamination joins as a
+    left flag), the verdicts join on doc_id, and all five counts come out
+    of a single map-side-combined conditional aggregate, unpivoted with
+    ``stack``. The first cut ran each count as its own subplan — five
+    recomputations of the stage chains (13 exchanges, and a 0.76 decade
+    exponent vs the funnel's 0.47 at sf10); this form is the one a 100 TB
+    pipeline runs, where stage verdicts are computed once and every
+    downstream consumer (the funnel report included) reads the same
+    frames."""
     from streaming_data_pipeline_capstone_spark.queries.quality import (
         dedup_keep_list,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
-    dd = dedup_keep_list(spark, sf_dir).filter("keep").select("doc_id")
-    qok = quality_filter_composite(spark, sf_dir).filter("keep").select("doc_id")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    dd = dedup_keep_list(spark, sf_dir).withColumnRenamed("keep", "keep_dd")
+    qok = quality_filter_composite(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_q")
+    )
+    cont = decontam_ngram_overlap_w8(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("contam")
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    j = (
+        docs.join(dd, "doc_id")
+        .join(qok, "doc_id")
+        .join(cont, "doc_id", "left")
+    )
 
-    def one(stage: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count("*").alias("n_docs")).select(
-            F.lit(stage).alias("stage"), "n_docs"
-        )
+    def cnt(cond: F.Column) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
 
-    return (
-        one("total", docs)
-        .unionByName(one("eval_slice", docs.filter(F.col("doc_id") % _EVAL_MOD == 0)))
-        .unionByName(one("after_dedup", dd))
-        .unionByName(one("after_quality", dd.join(qok, "doc_id")))
-        .unionByName(one("after_decontam", _survivors(spark, sf_dir)))
+    agg = j.agg(
+        F.count("*").alias("total"),
+        cnt(is_eval).alias("eval_slice"),
+        cnt(F.col("keep_dd")).alias("after_dedup"),
+        cnt(F.col("keep_dd") & F.col("keep_q")).alias("after_quality"),
+        cnt(
+            F.col("keep_dd")
+            & F.col("keep_q")
+            & ~is_eval
+            & F.col("contam").isNull()
+        ).alias("after_decontam"),
+    )
+    return agg.selectExpr(
+        "stack(5, 'total', total, 'eval_slice', eval_slice, "
+        "'after_dedup', after_dedup, 'after_quality', after_quality, "
+        "'after_decontam', after_decontam) AS (stage, n_docs)"
     )

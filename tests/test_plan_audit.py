@@ -112,7 +112,7 @@ SHUFFLE_BUDGET = {
     "sim_lsh_pairs_banded_scaled": 2,  # same plan, corpus-scaled (planes, bands)
     "sim_lsh_pairs_banded_neardup": 2,  # same plan at the 0.7 near-dup threshold
     "pipeline_curation_full": 5,  # dedup keep-list chain + doc_id joins + pack window + rollup
-    "curation_report": 13,  # five funnel counts, each a map-side-combined agg over its stage subplan
+    "curation_report": 5,  # stage verdicts computed once, joined on doc_id, one conditional agg
 
     "dedup_semantic_cells": 1,  # one exchange on (cell, ba, bb) task key; tasks exploded per row, no driver task table
     "emb_pq_encode_fixed": 0,  # shipped codebook: pure per-row exprs

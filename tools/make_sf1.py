@@ -21,11 +21,14 @@ Two tables need more than key offsets to avoid DEGENERATE scaling:
   replica r>0 every whitespace token is prefixed with ``r{r}_`` — an
   isomorphic token-space remap, so intra-replica duplicate/near-dup
   structure is EXACTLY preserved while cross-replica shingle overlap is
-  zero. The ``_`` delimiter is load-bearing at replicas >= 11: an
-  undelimited ``r{r}`` prefix lets replica 1 map token ``0foo`` to
-  ``r10foo``, colliding with replica 10's remap of ``foo`` — the
-  delimiter makes the prefix prefix-free for any replica count.
-  n_chars is recomputed from the rewritten text.
+  zero. The label is a FIXED-WIDTH letters-only triple (``r{aaa}_``,
+  round 8): fixed width + the ``_`` delimiter keep the prefix
+  prefix-free for any replica count up to 26³, and letters-only keeps
+  per-doc statistics unchanged — the original digit label (``r57_``)
+  pushed digit_frac past the quality filter's too_numeric bound and
+  killed ~90% of scaled docs, so funnel-shaped queries read a corpus
+  artifact instead of scale. n_chars is recomputed from the rewritten
+  text.
 - embeddings: verbatim copies would make every vector its own 10-way
   exact tie in similarity queries. Two modes (``--emb-mode``):
 
@@ -128,9 +131,10 @@ def main() -> None:
         type=int,
         default=REPLICAS,
         help="replication factor over sf0.1 (10 -> sf1, 100 -> sf10, "
-        "1000 -> sf100); the delimited token remap 'r<replica>_' is "
-        "prefix-free, so cross-replica shingle overlap is zero for any "
-        "replica count (an undelimited prefix collides at replicas >= 11)",
+        "1000 -> sf100); the fixed-width letters-only token remap "
+        "'r<aaa>_' is prefix-free, so cross-replica shingle overlap is "
+        "zero for any replica count up to 26^3, and digit-free so the "
+        "quality filter's digit_frac sees base-corpus statistics",
     )
     ap.add_argument(
         "--chunks",
@@ -217,15 +221,32 @@ def main() -> None:
         out,
     )
     # Documents: isomorphic token remap per replica (see module docstring).
+    # The replica label is LETTERS-ONLY ('r' || aaa..zzz || '_'): the old
+    # digit label ('r57_') injected 1-3 digits into every token, pushing
+    # digit_frac past quality_filter_composite's too_numeric bound and
+    # killing ~90% of scaled docs at the quality stage — replica docs
+    # must be statistically indistinguishable from base docs (the same
+    # natural-growth principle as the embeddings' rotate mode). Fixed
+    # 3-letter width keeps the prefix prefix-free for any replica count
+    # up to 26^3; mean token length grows by a constant +5 chars, which
+    # the corpus' max mean_tok (5.73 at sf0.1) keeps well under the 12.0
+    # quality bound.
+    alpha = (
+        "chr(CAST(97 + (r // 676) % 26 AS INTEGER)) || "
+        "chr(CAST(97 + (r // 26) % 26 AS INTEGER)) || "
+        "chr(CAST(97 + r % 26 AS INTEGER))"
+    )
+    remap = (
+        "CASE WHEN r = 0 THEN text "
+        f"ELSE regexp_replace(text, '([A-Za-z0-9_]+)', 'r' || {alpha} || '_\\1', 'g') END"
+    )
     scale_sql(
         con,
         "documents",
         f"doc_id + r*{STRIDE} AS doc_id, "
-        "CASE WHEN r = 0 THEN text "
-        "ELSE regexp_replace(text, '([A-Za-z0-9_]+)', 'r' || r || '_\\1', 'g') END AS text, "
+        f"{remap} AS text, "
         "lang, source, "
-        "length(CASE WHEN r = 0 THEN text "
-        "ELSE regexp_replace(text, '([A-Za-z0-9_]+)', 'r' || r || '_\\1', 'g') END) AS n_chars",
+        f"length({remap}) AS n_chars",
         out,
     )
     con.close()
