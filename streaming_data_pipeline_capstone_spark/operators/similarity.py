@@ -222,6 +222,24 @@ def banded_lsh_config(
     return planes, bands
 
 
+def banded_lsh_band_batch(
+    n: int, num_bands: int, dim: int = 64, peak_bytes: int = 8 << 30
+) -> int | None:
+    """Band-batch size bounding the banded shuffle's peak disk footprint.
+
+    The tagged exchange carries ~(4·dim vector + bands sig-prefix + ~48
+    key/overhead) bytes per row and n×bands rows; when that total exceeds
+    ``peak_bytes`` the bands are processed in sequential groups of the
+    returned size (None = single job). 8 GiB default keeps the sandbox's
+    disk headroom comfortable; at cluster scale the same rule is "peak =
+    a small multiple of the corpus", the knob that makes bands a
+    throughput factor instead of a disk-capacity factor."""
+    row_bytes = 4 * dim + num_bands + 48
+    if n * num_bands * row_bytes <= peak_bytes:
+        return None
+    return max(1, int(peak_bytes // max(n * row_bytes, 1)))
+
+
 def _pairs_within(pdf, threshold: float):
     """All (id1 < id2) cosine ≥ threshold pairs inside one pandas group,
     via a normalized GEMM in row blocks.
@@ -316,6 +334,7 @@ def lsh_similar_pairs(
     num_planes: int = 8,
     dim: int = 64,
     num_bands: int = 1,
+    band_batch: int | None = None,
 ) -> DataFrame:
     """All (id1 < id2) pairs with cosine ≥ threshold, found via hyperplane
     buckets and verified exactly.
@@ -334,6 +353,22 @@ def lsh_similar_pairs(
     bands collapse in one distinct() (cosine is deterministic per pair,
     so the 3-column distinct is exact). tests/test_llm_ops.py pins the
     measured recall vs brute_force_pairs.
+
+    ``band_batch`` bounds PEAK SHUFFLE DISK (round 8): the one-shuffle
+    plan writes bands× the corpus bytes (each tagged row carries the raw
+    vector), which at 2M vectors × 65 bands transiently spilled past the
+    sandbox's 79 GB free disk — and at 100 TB would mean a bands×100 TB
+    shuffle no cluster runs as one job. With ``band_batch = g`` the bands
+    are processed in ceil(bands/g) SEQUENTIAL jobs, each shuffling only
+    n×g rows, with each group's pair output materialized to a scratch
+    parquet before the next group starts (so shuffle files of finished
+    groups can be reclaimed). No cross-group dedup is needed — the
+    first-match-band rule tests the pair's GLOBAL signature prefix
+    (every band before this one, regardless of group), so group outputs
+    are disjoint by construction and their union is row-identical to the
+    single-job plan. Total shuffle I/O is unchanged; only the peak is
+    divided. Signature tagging recomputes the full GEMM per group — a
+    few extra GFLOPs, milliseconds against the shuffle it bounds.
     """
     all_planes = materialize_planes(
         corpus.sparkSession, list(range(num_bands * num_planes)), dim
@@ -390,29 +425,32 @@ def lsh_similar_pairs(
     # sf10 — the tagging stage itself became the bottleneck).
     sig_dtype = "<u1" if num_planes <= 8 else "<u4"
 
-    def tag_bands(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (x @ plane_mat.T) > 0  # (n, bands*planes)
-            sig_ints = (
-                bits.reshape(len(x), num_bands, num_planes) * weights
-            ).sum(axis=2)  # (n, bands)
-            packed = sig_ints.astype(sig_dtype)
-            sig_bytes = [row.tobytes() for row in packed]
-            vids = pdf[id_col].to_numpy()
-            vecs = pdf[vec_col]
-            for b in range(num_bands):
-                yield pd.DataFrame(
-                    {
-                        "vid": vids,
-                        "v": vecs,
-                        "band": np.full(len(x), b, dtype=np.int32),
-                        "sig": sig_ints[:, b],
-                        "sigs": sig_bytes,
-                    }
-                )
+    def make_tag_bands(band_lo: int, band_hi: int):
+        def tag_bands(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                bits = (x @ plane_mat.T) > 0  # (n, bands*planes)
+                sig_ints = (
+                    bits.reshape(len(x), num_bands, num_planes) * weights
+                ).sum(axis=2)  # (n, bands)
+                packed = sig_ints.astype(sig_dtype)
+                sig_bytes = [row.tobytes() for row in packed]
+                vids = pdf[id_col].to_numpy()
+                vecs = pdf[vec_col]
+                for b in range(band_lo, band_hi):
+                    yield pd.DataFrame(
+                        {
+                            "vid": vids,
+                            "v": vecs,
+                            "band": np.full(len(x), b, dtype=np.int32),
+                            "sig": sig_ints[:, b],
+                            "sigs": sig_bytes,
+                        }
+                    )
+
+        return tag_bands
 
     vec_type = corpus.schema[vec_col].dataType.simpleString()
     src = corpus.select(id_col, vec_col)
@@ -423,12 +461,39 @@ def lsh_similar_pairs(
     parallelism = src.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < parallelism:
         src = src.repartition(parallelism)
-    tagged = src.mapInPandas(
-        tag_bands,
-        f"vid long, v {vec_type}, band int, sig long, sigs binary",
-    )
     verify = _make_first_band_verify(threshold, num_bands, sig_dtype)
-    return tagged.groupBy("band", "sig").applyInPandas(verify, _PAIR_SCHEMA)
+
+    def band_group_pairs(band_lo: int, band_hi: int) -> DataFrame:
+        tagged = src.mapInPandas(
+            make_tag_bands(band_lo, band_hi),
+            f"vid long, v {vec_type}, band int, sig long, sigs binary",
+        )
+        return tagged.groupBy("band", "sig").applyInPandas(verify, _PAIR_SCHEMA)
+
+    if not band_batch or band_batch >= num_bands:
+        return band_group_pairs(0, num_bands)
+
+    # Sequential band-group jobs (see docstring): each group's pair output
+    # (small — the qualifying pairs) is materialized to scratch parquet so
+    # the group's n×g tagged-row shuffle is finished — and its spill files
+    # reclaimable — before the next group begins. Group outputs are
+    # disjoint (global first-match-band prefix), union = the one-job plan.
+    import gc
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="lsh_band_batch_")
+    spark = corpus.sparkSession
+    for lo in range(0, num_bands, band_batch):
+        hi = min(lo + band_batch, num_bands)
+        band_group_pairs(lo, hi).write.mode("append").parquet(scratch)
+        # drop the finished group's lineage so ContextCleaner can reclaim
+        # its shuffle files before the next group shuffles its own n×g rows
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+    return spark.read.parquet(scratch)
 
 
 def brute_force_pairs(

@@ -305,12 +305,21 @@ def sim_lsh_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the config is one metadata-only parquet count job.
 @register("sim_lsh_pairs_banded_scaled", _banded_oracle(_BAND_PLANES, _N_BANDS, _SIM_T))
 def sim_lsh_pairs_banded_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streaming_data_pipeline_capstone_spark.operators.similarity import banded_lsh_config
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        banded_lsh_band_batch,
+        banded_lsh_config,
+    )
 
+    n = read_table(spark, sf_dir, "embeddings").count()
     emb = read_table(spark, sf_dir, "embeddings")
-    planes, bands = banded_lsh_config(emb.count(), threshold=_SIM_T)
+    planes, bands = banded_lsh_config(n, threshold=_SIM_T)
     return lsh_similar_pairs(
-        emb, threshold=_SIM_T, num_planes=planes, dim=_DIM, num_bands=bands
+        emb,
+        threshold=_SIM_T,
+        num_planes=planes,
+        dim=_DIM,
+        num_bands=bands,
+        band_batch=banded_lsh_band_batch(n, bands, _DIM),
     )
 
 
@@ -335,12 +344,21 @@ _NEARDUP_GATE_PLANES, _NEARDUP_GATE_BANDS = 4, 8  # banded_lsh_config(500, 0.7)
     _banded_oracle(_NEARDUP_GATE_PLANES, _NEARDUP_GATE_BANDS, _NEARDUP_T),
 )
 def sim_lsh_pairs_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streaming_data_pipeline_capstone_spark.operators.similarity import banded_lsh_config
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        banded_lsh_band_batch,
+        banded_lsh_config,
+    )
 
+    n = read_table(spark, sf_dir, "embeddings").count()
     emb = read_table(spark, sf_dir, "embeddings")
-    planes, bands = banded_lsh_config(emb.count(), threshold=_NEARDUP_T)
+    planes, bands = banded_lsh_config(n, threshold=_NEARDUP_T)
     return lsh_similar_pairs(
-        emb, threshold=_NEARDUP_T, num_planes=planes, dim=_DIM, num_bands=bands
+        emb,
+        threshold=_NEARDUP_T,
+        num_planes=planes,
+        dim=_DIM,
+        num_bands=bands,
+        band_batch=banded_lsh_band_batch(n, bands, _DIM),
     )
 
 

@@ -302,6 +302,45 @@ def test_lsh_banded_scaled_config_recall():
     assert not (got - truth)
 
 
+def test_band_batch_row_identical_to_single_job(spark):
+    """Round-8 peak-disk bound: processing bands in sequential groups
+    (band_batch) must return EXACTLY the single-job pair set and scores —
+    the first-match-band rule tests the global signature prefix, so group
+    outputs are disjoint and their union is the one-shuffle plan's
+    output. Also pins the batch-size rule: no batching below the peak
+    threshold, corpus-bytes-bounded groups above it."""
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        banded_lsh_band_batch,
+        lsh_similar_pairs,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    single = {
+        (r.id1, r.id2): r.cosine_sim
+        for r in lsh_similar_pairs(
+            emb, threshold=0.4, num_planes=4, num_bands=8
+        ).collect()
+    }
+    batched = {
+        (r.id1, r.id2): r.cosine_sim
+        for r in lsh_similar_pairs(
+            emb, threshold=0.4, num_planes=4, num_bands=8, band_batch=3
+        ).collect()
+    }
+    assert single, "fixture should produce pairs"
+    assert batched == single
+
+    # batch-size rule: sandbox corpora run single-job; the 2M-vector
+    # corpus (whose 65-band shuffle out-spilled the sandbox disk) splits
+    # into groups bounded by the 8 GiB peak target
+    assert banded_lsh_band_batch(200_000, 66) is None
+    bb = banded_lsh_band_batch(2_000_000, 65)
+    assert bb is not None and 1 <= bb < 65
+    row_bytes = 4 * 64 + 65 + 48
+    assert 2_000_000 * bb * row_bytes <= (8 << 30)
+
+
 def test_fixed_codebook_reproduces_training_at_sf001(spark, sf_oracle):
     """The shipped codebook (queries/codebooks.py) was trained on the
     sf0.01 embeddings, so at sf0.01 the fixed-codebook queries must
