@@ -75,6 +75,12 @@ BENCH_QUERIES = [
     # round-3 additions: two more distinct physical shapes
     "text_quality_gopher",      # explode fan-out absorbed by partial agg
     "decontam_ngram_overlap",   # broadcast eval-gram join over corpus grams
+    # round-8 addition: the end-to-end curation funnel (dedup keep-list ->
+    # quality -> decontam -> pack) — the composed flagship of the LLM-ops
+    # family. NOTE: warm_total/cold_total grew by this query's time vs
+    # BENCH_r07 and earlier; cross-round suite comparisons must compare
+    # per-query or exclude it.
+    "pipeline_curation_full",
 ]
 
 WARM_COLD_TOL = 1.25  # warm may exceed cold by noise, not by 25%
@@ -290,7 +296,11 @@ def main() -> None:
                 # r1/r2 artifacts put the COLD suite total in "value";
                 # since r3 it is the warm total. Cross-round comparisons
                 # must use cold_total vs old value, or warm vs warm.
-                "metric_note": "value=warm since r3; min over fresh-JVM legs since r7",
+                "metric_note": (
+                    "value=warm since r3; min over fresh-JVM legs since r7; "
+                    "suite +pipeline_curation_full since r8 (compare "
+                    "per-query across rounds, not totals)"
+                ),
                 "queries": warm,
                 "cold_total": round(sum(cold.values()), 3),
                 "streaming_rate": streaming.get("value"),
