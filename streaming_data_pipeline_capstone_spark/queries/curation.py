@@ -837,3 +837,79 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'after_dedup', after_dedup, 'after_quality', after_quality, "
         "'after_decontam', after_decontam) AS (stage, n_docs)"
     )
+
+
+# -- exact substring-duplication profile --------------------------------------
+# Span-level duplication (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): doc-level dedup misses boilerplate and
+# quoted spans repeated ACROSS otherwise-distinct documents, which the
+# paper shows LMs memorize disproportionately. The exact-substring signal
+# here is the Spark-expressible form: every w-token window, counted
+# globally; a window occurring more than once (any doc, including
+# within-doc repeats) is a duplicated span, and each doc reports how much
+# of it lies in duplicated spans. At 100 TB: one exchange keyed on the
+# window text (count), one back on doc_id (rollup) — the same two-shuffle
+# shape as every other doc-keyed profile; window text as the key keeps the
+# semantics hash-free and engine-portable (a production variant would key
+# on a 128-bit window hash to shrink the exchange; identical plan shape).
+_SPAN_W = 15
+
+
+@register(
+    "text_dup_spans",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, CAST(greatest(len(t) - {_SPAN_W} + 1, 0) AS BIGINT) AS n_windows
+      FROM t
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - {_SPAN_W} + 2),
+                    i -> array_to_string(list_slice(t, i, i + {_SPAN_W} - 1), ' '))) AS gram
+      FROM t WHERE len(t) >= {_SPAN_W}
+    ),
+    d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+    nd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+      FROM g JOIN d USING (gram) GROUP BY doc_id
+    )
+    SELECT w.doc_id, n_windows,
+           coalesce(n_dup, 0) AS n_dup_windows,
+           round(CAST(coalesce(n_dup, 0) AS DOUBLE) / greatest(n_windows, 1), 6)
+             AS dup_span_frac
+    FROM w LEFT JOIN nd USING (doc_id)
+    """,
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    with_t = docs.select("doc_id", tokens("text").alias("t"))
+    t = F.col("t")
+    n_windows = F.greatest(F.size(t) - (_SPAN_W - 1), F.lit(0))
+    grams_full = F.transform(
+        t, lambda x, i: F.array_join(F.slice(t, i + 1, _SPAN_W), " ")
+    )
+    grams = F.slice(grams_full, F.lit(1), n_windows)
+    base = with_t.select("doc_id", n_windows.cast("bigint").alias("n_windows"))
+    g = with_t.select("doc_id", F.explode(grams).alias("gram"))
+    dup_grams = (
+        g.groupBy("gram").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
+    ).select("gram")
+    nd = (
+        g.join(dup_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_dup"))
+    )
+    return base.join(nd, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup_windows"),
+        F.round(
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_windows"), F.lit(1)),
+            6,
+        ).alias("dup_span_frac"),
+    )

@@ -113,6 +113,7 @@ SHUFFLE_BUDGET = {
     "sim_lsh_pairs_banded_neardup": 2,  # same plan at the 0.7 near-dup threshold
     "pipeline_curation_full": 5,  # dedup keep-list chain + doc_id joins + pack window + rollup
     "curation_report": 5,  # stage verdicts computed once, joined on doc_id, one conditional agg
+    "text_dup_spans": 2,  # window-text count + doc_id rollup; dup-gram set joins broadcast at this SF
 
     "dedup_semantic_cells": 1,  # one exchange on (cell, ba, bb) task key; tasks exploded per row, no driver task table
     "emb_pq_encode_fixed": 0,  # shipped codebook: pure per-row exprs
