@@ -913,3 +913,70 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_span_frac"),
     )
+
+
+@register(
+    "text_dup_spans_hashed",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, CAST(greatest(len(t) - {_SPAN_W} + 1, 0) AS BIGINT) AS n_windows
+      FROM t
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - {_SPAN_W} + 2),
+                    i -> array_to_string(list_slice(t, i, i + {_SPAN_W} - 1), ' '))) AS gram
+      FROM t WHERE len(t) >= {_SPAN_W}
+    ),
+    d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+    nd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+      FROM g JOIN d USING (gram) GROUP BY doc_id
+    )
+    SELECT w.doc_id, n_windows,
+           coalesce(n_dup, 0) AS n_dup_windows,
+           round(CAST(coalesce(n_dup, 0) AS DOUBLE) / greatest(n_windows, 1), 6)
+             AS dup_span_frac
+    FROM w LEFT JOIN nd USING (doc_id)
+    """,
+)
+def text_dup_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production shape of :func:`text_dup_spans`: the global window count
+    keys on ``xxhash64(window)`` (8 bytes) instead of the window text
+    (~15 words ≈ 100+ bytes), shrinking the dominant exchange ~12× — at
+    100 TB the text-keyed exchange is corpus×15 bytes, the hashed one is
+    corpus×(8/avg_word_len). A 64-bit collision would need ~2^32 distinct
+    windows in flight (birthday bound) to become likely; its effect is one
+    window pair falsely counted duplicated. The oracle is the TEXT-keyed
+    SQL — exact agreement pins collision-freedom at the gate corpus, and
+    tests pin row-identity to text_dup_spans."""
+    docs = read_table(spark, sf_dir, "documents")
+    with_t = docs.select("doc_id", tokens("text").alias("t"))
+    t = F.col("t")
+    n_windows = F.greatest(F.size(t) - (_SPAN_W - 1), F.lit(0))
+    grams_full = F.transform(
+        t, lambda x, i: F.xxhash64(F.array_join(F.slice(t, i + 1, _SPAN_W), " "))
+    )
+    hashes = F.slice(grams_full, F.lit(1), n_windows)
+    base = with_t.select("doc_id", n_windows.cast("bigint").alias("n_windows"))
+    g = with_t.select("doc_id", F.explode(hashes).alias("h"))
+    dup = g.groupBy("h").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
+    nd = (
+        g.join(dup.select("h"), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_dup"))
+    )
+    return base.join(nd, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup_windows"),
+        F.round(
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_windows"), F.lit(1)),
+            6,
+        ).alias("dup_span_frac"),
+    )

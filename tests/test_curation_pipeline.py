@@ -32,6 +32,21 @@ def test_funnel_counts_monotone_and_consistent(spark, sf_oracle):
     assert sum(r["n_docs"] for r in bins) == report["after_decontam"]
 
 
+def test_dup_spans_hashed_row_identical(spark, sf_oracle):
+    """The xxhash64-keyed exchange is a physical change only: at the gate
+    corpus (no 64-bit collisions among ~20k windows) the hashed variant
+    must return exactly the text-keyed profile."""
+    qs = all_queries()
+    text_rows = sorted(
+        tuple(r) for r in qs["text_dup_spans"](spark, sf_oracle).collect()
+    )
+    hashed_rows = sorted(
+        tuple(r) for r in qs["text_dup_spans_hashed"](spark, sf_oracle).collect()
+    )
+    assert text_rows == hashed_rows
+    assert any(r[2] > 0 for r in text_rows), "fixture should contain dup spans"
+
+
 def test_funnel_stage_membership_matches_stage_queries(spark, sf_oracle):
     """A document survives the funnel iff it passes every individual
     stage query — the composition adds no semantics of its own."""
