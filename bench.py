@@ -280,7 +280,15 @@ def main() -> None:
             "per-leg samples + spread recorded here"
         ),
     }
-    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    # The committed BENCH_DETAIL.json is a round-evidence artifact and must
+    # stay immutable under casual local runs (ADVICE r8): by default the
+    # sidecar goes to an untracked _local file; the official round refresh
+    # sets SPARK_GRAFT_BENCH_DETAIL=BENCH_DETAIL.json explicitly.
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
+        REPO, "BENCH_DETAIL_local.json"
+    )
+    if not os.path.isabs(detail_path):
+        detail_path = os.path.join(REPO, detail_path)
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)
@@ -309,7 +317,7 @@ def main() -> None:
                 "legs_n": len(legs),
                 "leg_spread_max": max(spread.values()),
                 "all_legs_clean": all(leg["gate"]["clean"] for leg in legs),
-                "detail": "BENCH_DETAIL.json" if detail_path else None,
+                "detail": os.path.basename(detail_path) if detail_path else None,
             }
         )
     )

@@ -222,19 +222,34 @@ def banded_lsh_config(
     return planes, bands
 
 
+def vector_elem_bytes(df: DataFrame, vec_col: str = "embedding") -> int:
+    """Bytes per vector component as the tagged exchange will ship it: the
+    exchange carries ``vec_col`` in its SOURCE type, so array<double>
+    corpora pay 8 bytes/component, not the float32 default (ADVICE r8)."""
+    elem = df.schema[vec_col].dataType.elementType.simpleString()
+    return 8 if elem == "double" else 4
+
+
 def banded_lsh_band_batch(
-    n: int, num_bands: int, dim: int = 64, peak_bytes: int = 8 << 30
+    n: int,
+    num_bands: int,
+    dim: int = 64,
+    peak_bytes: int = 8 << 30,
+    elem_bytes: int = 4,
 ) -> int | None:
     """Band-batch size bounding the banded shuffle's peak disk footprint.
 
-    The tagged exchange carries ~(4·dim vector + bands sig-prefix + ~48
-    key/overhead) bytes per row and n×bands rows; when that total exceeds
-    ``peak_bytes`` the bands are processed in sequential groups of the
-    returned size (None = single job). 8 GiB default keeps the sandbox's
-    disk headroom comfortable; at cluster scale the same rule is "peak =
-    a small multiple of the corpus", the knob that makes bands a
-    throughput factor instead of a disk-capacity factor."""
-    row_bytes = 4 * dim + num_bands + 48
+    The tagged exchange carries ~(elem_bytes·dim vector + bands sig-prefix
+    + ~48 key/overhead) bytes per row and n×bands rows; when that total
+    exceeds ``peak_bytes`` the bands are processed in sequential groups of
+    the returned size (None = single job). ``elem_bytes`` must match the
+    corpus's array element type (use :func:`vector_elem_bytes`) — a
+    double-typed corpus ships 2× the float32 payload, and sizing with 4
+    would let the real peak run ~2× past the target. 8 GiB default keeps
+    the sandbox's disk headroom comfortable; at cluster scale the same
+    rule is "peak = a small multiple of the corpus", the knob that makes
+    bands a throughput factor instead of a disk-capacity factor."""
+    row_bytes = elem_bytes * dim + num_bands + 48
     if n * num_bands * row_bytes <= peak_bytes:
         return None
     return max(1, int(peak_bytes // max(n * row_bytes, 1)))
@@ -478,10 +493,18 @@ def lsh_similar_pairs(
     # the group's n×g tagged-row shuffle is finished — and its spill files
     # reclaimable — before the next group begins. Group outputs are
     # disjoint (global first-match-band prefix), union = the one-job plan.
+    #
+    # NOTE (execution semantics, ADVICE r8): unlike every other path in
+    # this module, the batched path is EAGER — the group jobs run at call
+    # time, and the returned DataFrame is a scan over their committed
+    # parquet. The scratch location must be a filesystem BOTH executors
+    # and the final read can see: executor task commits land wherever the
+    # path points, so a driver-local tempdir is only correct in local
+    # mode. _band_batch_scratch resolves a shared location (explicit conf
+    # on a cluster, warehouse dir otherwise) and registers cleanup.
     import gc
-    import tempfile
 
-    scratch = tempfile.mkdtemp(prefix="lsh_band_batch_")
+    scratch = _band_batch_scratch(corpus.sparkSession)
     spark = corpus.sparkSession
     for lo in range(0, num_bands, band_batch):
         hi = min(lo + band_batch, num_bands)
@@ -494,6 +517,55 @@ def lsh_similar_pairs(
         except Exception:
             pass
     return spark.read.parquet(scratch)
+
+
+def _band_batch_scratch(spark: SparkSession) -> str:
+    """Unique scratch directory for band-batched group outputs, on a
+    filesystem shared by executors and the final driver-side read.
+
+    Resolution order:
+
+    1. ``spark.lsh.scratchDir`` — set this to an HDFS/S3/shared path on a
+       multi-node cluster; REQUIRED there, because the fallbacks below
+       may resolve to node-local disk and task commits would be invisible
+       to the final read (silent row loss).
+    2. the streaming checkpoint dir, if one is set (already required to
+       be shared storage by Spark's own checkpoint contract);
+    3. ``spark.sql.warehouse.dir`` — correct in local mode and on
+       deployments whose warehouse is shared storage.
+
+    Local (``file:``) scratch dirs are registered for atexit removal, so
+    repeated batched runs don't accumulate; remote URIs are left to the
+    deployment's scratch-retention policy (the returned DataFrame reads
+    the files lazily, so they must outlive the caller's consumption)."""
+    import atexit
+    import shutil
+    import uuid
+
+    base = None
+    try:
+        base = spark.conf.get("spark.lsh.scratchDir")
+    except Exception:
+        base = None
+    if not base:
+        try:
+            opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+            base = opt.get() if opt.isDefined() else None
+        except Exception:
+            base = None
+    if not base:
+        base = spark.conf.get("spark.sql.warehouse.dir")
+    scratch = base.rstrip("/") + "/lsh_band_batch_" + uuid.uuid4().hex
+    local = None
+    if scratch.startswith("file:"):
+        local = scratch[len("file:"):]
+        while local.startswith("//"):
+            local = local[1:]
+    elif "://" not in scratch:
+        local = scratch
+    if local is not None:
+        atexit.register(shutil.rmtree, local, ignore_errors=True)
+    return scratch
 
 
 def brute_force_pairs(

@@ -308,6 +308,7 @@ def sim_lsh_pairs_banded_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_pipeline_capstone_spark.operators.similarity import (
         banded_lsh_band_batch,
         banded_lsh_config,
+        vector_elem_bytes,
     )
 
     n = read_table(spark, sf_dir, "embeddings").count()
@@ -319,7 +320,9 @@ def sim_lsh_pairs_banded_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_planes=planes,
         dim=_DIM,
         num_bands=bands,
-        band_batch=banded_lsh_band_batch(n, bands, _DIM),
+        band_batch=banded_lsh_band_batch(
+            n, bands, _DIM, elem_bytes=vector_elem_bytes(emb)
+        ),
     )
 
 
@@ -347,6 +350,7 @@ def sim_lsh_pairs_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_pipeline_capstone_spark.operators.similarity import (
         banded_lsh_band_batch,
         banded_lsh_config,
+        vector_elem_bytes,
     )
 
     n = read_table(spark, sf_dir, "embeddings").count()
@@ -358,7 +362,9 @@ def sim_lsh_pairs_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_planes=planes,
         dim=_DIM,
         num_bands=bands,
-        band_batch=banded_lsh_band_batch(n, bands, _DIM),
+        band_batch=banded_lsh_band_batch(
+            n, bands, _DIM, elem_bytes=vector_elem_bytes(emb)
+        ),
     )
 
 

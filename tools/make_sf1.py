@@ -274,7 +274,7 @@ def main() -> None:
             else:
                 rng = np.random.default_rng(r)
                 vecs = mat + rng.normal(0.0, 0.02, size=mat.shape).astype(np.float32)
-            if args.emb_mode == "rotate-dup":
+            if args.emb_mode == "rotate-dup" and r > 0:
                 # Plant a CONSTANT per-replica near-dup density: the last
                 # 2% of each replica's rows are overwritten with noisy
                 # copies of its first 2% (cos ~0.93 at sigma=0.4x the
@@ -283,9 +283,13 @@ def main() -> None:
                 # sf0.1 corpus has ZERO >=0.7 pairs, so a pure-rotate
                 # decade of the neardup query reads 0 -> 0 output; this
                 # mode gives the decade a nonzero linear pair count to
-                # read (pairs = k per replica, replicas x growth -> 10x),
+                # read (pairs = k per replica, replicas x growth -> ~10x),
                 # which is what "near-dup density stays constant under
                 # natural growth" means. Seeded per replica: byte-stable.
+                # r == 0 is SKIPPED so the base slice stays a verbatim copy
+                # of the source corpus (the tool's r==0 convention; density
+                # is constant across the r > 0 replicas, and the planted
+                # count still grows linearly with replica count).
                 vecs = vecs.copy()
                 n_rows = vecs.shape[0]
                 k = max(1, n_rows // 50)
