@@ -32,6 +32,88 @@ def test_funnel_counts_monotone_and_consistent(spark, sf_oracle):
     assert sum(r["n_docs"] for r in bins) == report["after_decontam"]
 
 
+def test_pack_bins_hierarchical_is_bit_identical_to_single_window(spark, sf_oracle):
+    """The two-level prefix sum (r9: langs × buckets concurrent tasks)
+    must produce bin assignments BIT-IDENTICAL to the naive
+    Window.partitionBy(lang).orderBy(doc_id) running sum it replaces —
+    the prefix sum is exact integer arithmetic, associatively regrouped.
+    Checked at the doc level (before the rollup) so a mis-bucketed doc
+    can't cancel out inside an aggregate, and with a deliberately tiny
+    bucket width so many buckets (and bucket boundaries mid-language)
+    are actually exercised."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_capstone_spark.operators.textstats import tokens
+    from streaming_data_pipeline_capstone_spark.queries.curation import (
+        _PACK_BUDGET,
+        _pack_bins,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    t = read_table(spark, sf_oracle, "documents").select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_tok")
+    )
+    got = _pack_bins(t, bucket_width=7)  # ~70 buckets over the 500-doc fixture
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = t.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / _PACK_BUDGET).cast(
+            "bigint"
+        ),
+    )
+    got_rows = sorted(tuple(r) for r in got.select(*want.columns).collect())
+    want_rows = sorted(tuple(r) for r in want.collect())
+    assert got_rows == want_rows
+    assert len({r[3] for r in want_rows}) > 1, "fixture must span multiple bins"
+
+
+def test_pack_token_budget_running_sum_is_parallel(spark, sf_oracle):
+    """The scale property the r8 verdict flagged: the doc-level running
+    sum must NOT be partitioned by lang alone (one task per language).
+    Pin it structurally — the executed plan's within-bucket window
+    partitions on (lang, bkt), and the fixture actually spreads each
+    language across many buckets."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_capstone_spark.operators.textstats import tokens
+    from streaming_data_pipeline_capstone_spark.queries.curation import (
+        _doc_bucket_width,
+        _pack_bins,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    t = read_table(spark, sf_oracle, "documents").select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_tok")
+    )
+    width = _doc_bucket_width(spark, sf_oracle)
+    binned = _pack_bins(t, width)
+    binned.count()
+    plan = binned._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    doc_level = [s for s in specs if "doc_id" in s]
+    assert doc_level, f"no doc-level window in plan:\n{plan[:2000]}"
+    assert all("bkt" in s for s in doc_level), (
+        "doc-level running sum must partition by (lang, bkt), got: "
+        f"{doc_level}"
+    )
+    # and the coarse key actually fans each language out
+    groups = (
+        t.withColumn("bkt", F.floor(F.col("doc_id") / width))
+        .select("lang", "bkt")
+        .distinct()
+        .count()
+    )
+    langs = t.select("lang").distinct().count()
+    assert groups >= 4 * langs
+
+
 def test_dup_spans_hashed_row_identical(spark, sf_oracle):
     """The xxhash64-keyed exchange is a physical change only: at the gate
     corpus (no 64-bit collisions among ~20k windows) the hashed variant

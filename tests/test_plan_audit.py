@@ -85,7 +85,13 @@ SHUFFLE_BUDGET = {
     "ml_score_stub": 0,
     "multimodal_binary_meta": 0,
     "multimodal_extract_features": 0,
-    "pack_token_budget": 1,  # per-lang window; AQE reuses the partitioning for the rollup
+    # r9: hierarchical prefix sum replaced the per-lang window (one task
+    # per language). 4 = bucket-totals agg + tiny per-lang offsets window
+    # (langs x buckets ROWS, metadata-sized) + within-bucket window
+    # ((lang,bkt)-keyed, the parallel one) + rollup. Two of the four are
+    # metadata-sized; the data-sized exchange went from langs keys to
+    # langs x buckets keys — the deliberate scale trade.
+    "pack_token_budget": 4,
     "pipeline_predict_full": 1,
     "pipeline_predict_trained": 1,  # one exchange on user_id serves lag+lead
     "pipeline_preprocess_full": 0,
@@ -111,7 +117,10 @@ SHUFFLE_BUDGET = {
     "sim_lsh_pairs_banded": 2,  # band-bucket groupBy + cross-band distinct
     "sim_lsh_pairs_banded_scaled": 2,  # same plan, corpus-scaled (planes, bands)
     "sim_lsh_pairs_banded_neardup": 2,  # same plan at the 0.7 near-dup threshold
-    "pipeline_curation_full": 5,  # dedup keep-list chain + doc_id joins + pack window + rollup
+    # r9: +3 over the r8 budget of 5 for the hierarchical packing stage
+    # (see pack_token_budget); the survivor chain itself is persisted and
+    # audited once (plan_audit dedups cached blocks).
+    "pipeline_curation_full": 8,
     "curation_report": 5,  # stage verdicts computed once, joined on doc_id, one conditional agg
     "text_dup_spans": 2,  # window-text count + doc_id rollup; dup-gram set joins broadcast at this SF
     "text_dup_spans_hashed": 2,  # same plan keyed on xxhash64(window): 8-byte exchange
