@@ -1044,3 +1044,88 @@ def text_dup_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_span_frac"),
     )
+
+
+@register(
+    "text_dup_spans_strip",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(t) - {_SPAN_W} + 2),
+            i -> {{'pos': i,
+                   'gram': array_to_string(list_slice(t, i, i + {_SPAN_W} - 1), ' ')}})) AS u
+        FROM t WHERE len(t) >= {_SPAN_W}
+      )
+    ),
+    d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+    s AS (SELECT doc_id, list(pos) AS starts FROM g JOIN d USING (gram) GROUP BY doc_id),
+    k AS (
+      SELECT doc_id, t,
+             CASE WHEN starts IS NULL THEN t
+                  ELSE list_filter(t, (x, j) ->
+                         NOT len(list_filter(starts,
+                               p -> p <= j AND j < p + {_SPAN_W})) > 0)
+             END AS kept
+      FROM t LEFT JOIN s USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS n_kept_tokens,
+           -- DuckDB's array_to_string of an EMPTY list is NULL; Spark's
+           -- array_join is '' — align on '' (fully-stripped docs)
+           coalesce(array_to_string(kept, ' '), '') AS text_stripped
+    FROM k
+    """,
+)
+def text_dup_spans_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REMOVAL on top of the duplication profile — the operator Lee
+    et al. 2022 actually run (exact-substring dedup DELETES the duplicated
+    spans; :func:`text_dup_spans` only measures them). A token survives
+    iff no duplicated w-token window covers it; the emitted text is the
+    surviving tokens rejoined.
+
+    Same two keyed exchanges as the profile (window-text count, then a
+    per-doc rollup — here of duplicated START positions instead of a
+    count) plus one doc_id-keyed join of the start-lists back onto the
+    token arrays; coverage expansion (start list -> per-token verdict) is
+    a native higher-order filter over the token array, zero extra
+    shuffles and no UDF. At 100 TB the start-list rollup rows are
+    doc_id + a small int list — the production variant keys the window
+    count on xxhash64 exactly as text_dup_spans_hashed demonstrates."""
+    docs = read_table(spark, sf_dir, "documents")
+    with_t = docs.select("doc_id", tokens("text").alias("t"))
+    t = F.col("t")
+    n_windows = F.greatest(F.size(t) - (_SPAN_W - 1), F.lit(0))
+    grams_full = F.transform(
+        t, lambda x, i: F.array_join(F.slice(t, i + 1, _SPAN_W), " ")
+    )
+    grams = F.slice(grams_full, F.lit(1), n_windows)
+    g = with_t.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    dup_grams = (
+        g.groupBy("gram").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
+    ).select("gram")
+    starts = (
+        g.join(dup_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("starts"))
+    )
+    joined = with_t.join(starts, "doc_id", "left")
+    starts_arr = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    # 0-based here vs 1-based in the SQL twin — consistent within each
+    # engine, so the covered set is identical
+    kept = F.filter(
+        t,
+        lambda x, i: ~F.exists(
+            starts_arr, lambda p: (p <= i) & (i < p + _SPAN_W)
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("n_kept_tokens"),
+        F.array_join(kept, " ").alias("text_stripped"),
+    )

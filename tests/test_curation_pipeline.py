@@ -129,6 +129,72 @@ def test_dup_spans_hashed_row_identical(spark, sf_oracle):
     assert any(r[2] > 0 for r in text_rows), "fixture should contain dup spans"
 
 
+def test_checkpointed_funnel_row_identical(spark, sf_oracle, tmp_path):
+    """The production execution shape (stage verdicts checkpointed to
+    parquet between jobs) must return exactly the single-plan funnel's
+    bins — only execution boundaries move, never semantics."""
+    from streaming_data_pipeline_capstone_spark.plans.curation_ckpt import (
+        run_checkpointed_funnel,
+    )
+
+    qs = all_queries()
+    single = sorted(
+        tuple(r) for r in qs["pipeline_curation_full"](spark, sf_oracle).collect()
+    )
+    ckpt = sorted(
+        tuple(r)
+        for r in run_checkpointed_funnel(spark, sf_oracle, str(tmp_path)).collect()
+    )
+    assert single == ckpt
+    assert len(single) > 0
+
+
+def test_dup_spans_strip_removes_every_duplicated_window(spark, sf_oracle):
+    """Lee et al. semantics: after stripping, NO window flagged as
+    duplicated in the original corpus survives anywhere. Recompute the
+    w=15 windows of every stripped text and intersect with the original
+    duplicated-window set (computed independently, driver-side — the
+    fixture is 500 docs). Also: strip is consistent with the profile
+    (docs with zero dup windows keep every token) and actually fires."""
+    from collections import Counter
+
+    from streaming_data_pipeline_capstone_spark.queries.curation import _SPAN_W
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    qs = all_queries()
+    docs = read_table(spark, sf_oracle, "documents").select("doc_id", "text").collect()
+
+    def windows(toks):
+        return [
+            " ".join(toks[i : i + _SPAN_W])
+            for i in range(len(toks) - _SPAN_W + 1)
+        ]
+
+    counts = Counter(
+        g for r in docs for g in windows(r["text"].strip().lower().split())
+    )
+    dup = {g for g, c in counts.items() if c > 1}
+    assert dup, "fixture must contain duplicated spans"
+
+    stripped = {r["doc_id"]: r for r in qs["text_dup_spans_strip"](spark, sf_oracle).collect()}
+    assert len(stripped) == len(docs)
+    for r in stripped.values():
+        for g in windows(r["text_stripped"].split()):
+            assert g not in dup, f"doc {r['doc_id']} still contains a dup window"
+
+    profile = {r["doc_id"]: r for r in qs["text_dup_spans"](spark, sf_oracle).collect()}
+    n_stripped_docs = 0
+    for doc_id, r in stripped.items():
+        p = profile[doc_id]
+        assert r["n_tokens"] >= r["n_kept_tokens"]
+        if p["n_dup_windows"] == 0:
+            assert r["n_kept_tokens"] == r["n_tokens"]
+        else:
+            assert r["n_kept_tokens"] < r["n_tokens"]
+            n_stripped_docs += 1
+    assert n_stripped_docs > 0
+
+
 def test_funnel_stage_membership_matches_stage_queries(spark, sf_oracle):
     """A document survives the funnel iff it passes every individual
     stage query — the composition adds no semantics of its own."""

@@ -124,6 +124,7 @@ SHUFFLE_BUDGET = {
     "curation_report": 5,  # stage verdicts computed once, joined on doc_id, one conditional agg
     "text_dup_spans": 2,  # window-text count + doc_id rollup; dup-gram set joins broadcast at this SF
     "text_dup_spans_hashed": 2,  # same plan keyed on xxhash64(window): 8-byte exchange
+    "text_dup_spans_strip": 2,  # window count + dup-START rollup; start-lists join broadcast
 
     "dedup_semantic_cells": 1,  # one exchange on (cell, ba, bb) task key; tasks exploded per row, no driver task table
     "emb_pq_encode_fixed": 0,  # shipped codebook: pure per-row exprs
