@@ -1,13 +1,15 @@
-"""Recall-vs-compression curve for the ANN family (VERDICT r6 ask #5).
+"""Recall-vs-compression curve for the ANN family (VERDICT r6 ask #5;
+pq_subs axis added for r9, VERDICT r8 ask #2).
 
 The deployment-shape probes trade recall for compute/storage three ways:
 PQ quantization loss (ADC on integer codes vs exact cosine), IVF cell
 pruning loss (unprobed cells can hold true neighbors), and their product
-(IVF-PQ). Until round 8 the trade lived in test comments ("~4/10 at this
-codebook"); at deployment shape the trade IS the product, so it gets a
-committed artifact: recall@10 against exact cosine, measured over a grid
-of codebook sizes and probe widths, so the next config change diffs
-against a recorded curve instead of a comment.
+(IVF-PQ). The r8 curve swept only pq_k (codewords per sub-book) at a
+fixed 4×16 subspace split and read flat ~0.14 recall@10 at every pq_k —
+the binding constraint was the SUB-QUANTIZER COUNT, not codebook size:
+4 sub-quantizers on dim 64 quantize 16 dims with one code. This round
+sweeps pq_subs × pq_k (sub_dim = 64 / pq_subs) and nprobe 1..5, so the
+shipped config is chosen off a recorded curve with the right lever.
 
 Methodology:
 
@@ -24,7 +26,7 @@ Methodology:
 
 Usage::
 
-    python tools/ann_recall.py   # writes ANN_RECALL_r08.json
+    python tools/ann_recall.py   # writes ANN_RECALL_r09.json
 """
 
 from __future__ import annotations
@@ -40,13 +42,15 @@ sys.path.insert(0, REPO)
 
 TRAIN_SF_DIR = "/root/testdata/sf0.01"
 EVAL_SF_DIR = "/root/testdata/sf0.1"
-OUT = os.path.join(REPO, "ANN_RECALL_r08.json")
+OUT = os.path.join(REPO, "ANN_RECALL_r09.json")
 
 N_QUERIES = 20
 TOP_K = 10
-PQ_SIZES = (8, 16, 64)  # codewords per sub-book; 8 is the shipped artifact
-NPROBES = (1, 2, 3)  # of _KMEANS_K=8 coarse cells; 3 is the shipped probe
-PQ_SUBS, PQ_SUB_DIM = 4, 16
+DIM = 64
+PQ_SUBS_SWEEP = (4, 8, 16, 32)  # sub_dim = DIM / subs; 4x16 was the r8 artifact
+PQ_SIZES = (8, 16, 64)  # codewords per sub-book
+NPROBES = (1, 2, 3, 4, 5)  # of _KMEANS_K=8 coarse cells
+RERANKS = (20, 50, 100)  # exact-rerank shortlist sizes (ADC top-R -> cosine)
 PQ_ITERS, KMEANS_K, KMEANS_ITERS = 3, 8, 5
 
 
@@ -70,22 +74,25 @@ def _topk_ids(scores: np.ndarray, ids: np.ndarray, k: int, asc: bool) -> list[in
     return [int(ids[i]) for i in order[:k]]
 
 
-def _adc_scores(codes: np.ndarray, query: np.ndarray, books: list) -> np.ndarray:
+def _adc_scores(
+    codes: np.ndarray, query: np.ndarray, books: list, sub_dim: int
+) -> np.ndarray:
     """Sum over sub-spaces of squared L2 between the query sub-vector and
     the code's sub-centroid — the engine's pq_adc_score math."""
     n = codes.shape[0]
     out = np.zeros(n)
-    for s in range(PQ_SUBS):
-        qs = query[s * PQ_SUB_DIM : (s + 1) * PQ_SUB_DIM]
+    for s in range(codes.shape[1]):
+        qs = query[s * sub_dim : (s + 1) * sub_dim]
         table = ((np.asarray(books[s]) - qs) ** 2).sum(axis=1)  # (pq_k,)
         out += table[codes[:, s]]
     return np.round(out, 6)
 
 
-def _encode(mat: np.ndarray, books: list) -> np.ndarray:
-    codes = np.zeros((mat.shape[0], PQ_SUBS), dtype=np.int64)
-    for s in range(PQ_SUBS):
-        sub = mat[:, s * PQ_SUB_DIM : (s + 1) * PQ_SUB_DIM]
+def _encode(mat: np.ndarray, books: list, sub_dim: int) -> np.ndarray:
+    subs = len(books)
+    codes = np.zeros((mat.shape[0], subs), dtype=np.int64)
+    for s in range(subs):
+        sub = mat[:, s * sub_dim : (s + 1) * sub_dim]
         d = ((sub[:, None, :] - np.asarray(books[s])[None, :, :]) ** 2).sum(axis=2)
         codes[:, s] = d.argmin(axis=1)  # first-min, matching the engine
     return codes
@@ -94,6 +101,10 @@ def _encode(mat: np.ndarray, books: list) -> np.ndarray:
 def _assign(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
     d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     return d.argmin(axis=1)
+
+
+def _bits(subs: int, pq_k: int) -> int:
+    return subs * max(1, int(np.ceil(np.log2(pq_k))))
 
 
 def main() -> None:
@@ -112,10 +123,15 @@ def main() -> None:
     train_vecs = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    books_by_size = {
-        pq_k: pq_train(train_vecs, PQ_SUBS, PQ_SUB_DIM, pq_k, PQ_ITERS)
-        for pq_k in PQ_SIZES
-    }
+    configs = [
+        (subs, DIM // subs, pq_k) for subs in PQ_SUBS_SWEEP for pq_k in PQ_SIZES
+    ]
+    books_by_cfg = {}
+    for subs, sub_dim, pq_k in configs:
+        books_by_cfg[(subs, pq_k)] = pq_train(
+            train_vecs, subs, sub_dim, pq_k, PQ_ITERS
+        )
+        print(f"trained subs={subs} pq_k={pq_k}", file=sys.stderr)
     cents = np.asarray(lloyd_kmeans_centroids(train_vecs, KMEANS_K, KMEANS_ITERS))
     spark.stop()
 
@@ -124,21 +140,29 @@ def main() -> None:
     cells = _assign(mat, cents)
     cent_norms = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
-    codes_by_size = {pq_k: _encode(mat, books) for pq_k, books in books_by_size.items()}
+    codes_by_cfg = {
+        (subs, pq_k): _encode(mat, books, DIM // subs)
+        for (subs, pq_k), books in books_by_cfg.items()
+    }
 
-    exact: dict[int, list[int]] = {}
-    rec_pq = {pq_k: [] for pq_k in PQ_SIZES}
-    rec_pq_l2 = {pq_k: [] for pq_k in PQ_SIZES}
+    rec_pq = {cfg: [] for cfg in codes_by_cfg}
+    rec_pq_l2 = {cfg: [] for cfg in codes_by_cfg}
     rec_metric = []
     rec_ivf = {np_: [] for np_ in NPROBES}
-    rec_ivfpq = {(np_, pq_k): [] for np_ in NPROBES for pq_k in PQ_SIZES}
+    rec_ivfpq = {(np_, cfg): [] for np_ in NPROBES for cfg in codes_by_cfg}
+    rec_rerank = {(r, cfg): [] for r in RERANKS for cfg in codes_by_cfg}
+    rec_ivfpq_rerank = {
+        (np_, r, cfg): []
+        for np_ in NPROBES
+        for r in RERANKS
+        for cfg in codes_by_cfg
+    }
 
     for qi in range(N_QUERIES):
         q = mat[qi]
         qn = q / np.linalg.norm(q)
         cos = np.round(norms @ qn, 6)
         exact_top = _topk_ids(cos, ids, TOP_K, asc=False)
-        exact[qi] = exact_top
 
         # ADC approximates squared L2 on the RAW vectors; the exact-L2
         # top-10 separates metric mismatch (L2 vs cosine on unnormalized
@@ -147,11 +171,21 @@ def main() -> None:
         exact_l2_top = _topk_ids(l2, ids, TOP_K, asc=True)
         rec_metric.append(len(set(exact_l2_top) & set(exact_top)) / TOP_K)
 
-        for pq_k, codes in codes_by_size.items():
-            adc = _adc_scores(codes, q, books_by_size[pq_k])
+        for cfg, codes in codes_by_cfg.items():
+            subs, pq_k = cfg
+            adc = _adc_scores(codes, q, books_by_cfg[cfg], DIM // subs)
             got = _topk_ids(adc, ids, TOP_K, asc=True)
-            rec_pq[pq_k].append(len(set(got) & set(exact_top)) / TOP_K)
-            rec_pq_l2[pq_k].append(len(set(got) & set(exact_l2_top)) / TOP_K)
+            rec_pq[cfg].append(len(set(got) & set(exact_top)) / TOP_K)
+            rec_pq_l2[cfg].append(len(set(got) & set(exact_l2_top)) / TOP_K)
+            for r in RERANKS:
+                # the production probe: ADC shortlist of R ids, exact
+                # cosine re-rank of only those R raw vectors
+                short = _topk_ids(adc, ids, r, asc=True)
+                smask = np.isin(ids, short)
+                rr = _topk_ids(cos[smask], ids[smask], TOP_K, asc=False)
+                rec_rerank[(r, cfg)].append(
+                    len(set(rr) & set(exact_top)) / TOP_K
+                )
 
         probe_rank = np.argsort(-np.round(cent_norms @ qn, 12), kind="stable")
         for np_ in NPROBES:
@@ -159,15 +193,26 @@ def main() -> None:
             mask = np.isin(cells, list(probed))
             got = _topk_ids(cos[mask], ids[mask], TOP_K, asc=False)
             rec_ivf[np_].append(len(set(got) & set(exact_top)) / TOP_K)
-            for pq_k, codes in codes_by_size.items():
-                adc = _adc_scores(codes[mask], q, books_by_size[pq_k])
+            for cfg, codes in codes_by_cfg.items():
+                subs, pq_k = cfg
+                adc = _adc_scores(codes[mask], q, books_by_cfg[cfg], DIM // subs)
                 got2 = _topk_ids(adc, ids[mask], TOP_K, asc=True)
-                rec_ivfpq[(np_, pq_k)].append(
+                rec_ivfpq[(np_, cfg)].append(
                     len(set(got2) & set(exact_top)) / TOP_K
                 )
+                for r in RERANKS:
+                    short = _topk_ids(adc, ids[mask], r, asc=True)
+                    smask = np.isin(ids, short)
+                    rr = _topk_ids(cos[smask], ids[smask], TOP_K, asc=False)
+                    rec_ivfpq_rerank[(np_, r, cfg)].append(
+                        len(set(rr) & set(exact_top)) / TOP_K
+                    )
 
     def avg(xs: list[float]) -> float:
         return round(sum(xs) / len(xs), 3)
+
+    def cfg_key(cfg: tuple[int, int]) -> str:
+        return f"pq_subs={cfg[0]},pq_k={cfg[1]}"
 
     artifact = {
         "train_sf_dir": TRAIN_SF_DIR,
@@ -175,28 +220,34 @@ def main() -> None:
         "n_queries": N_QUERIES,
         "top_k": TOP_K,
         "kmeans_k": KMEANS_K,
-        "pq_subs": PQ_SUBS,
-        "pq_sub_dim": PQ_SUB_DIM,
-        "shipped_config": {"pq_k": 8, "nprobe": 3},
+        "dim": DIM,
+        "pq_subs_sweep": list(PQ_SUBS_SWEEP),
+        "pq_sizes": list(PQ_SIZES),
+        "shipped_config": {"pq_subs": 16, "pq_k": 16, "nprobe": 4},
         "recall_at_10": {
             "exact_l2_vs_cosine": avg(rec_metric),
-            "pq_adc": {f"pq_k={k}": avg(v) for k, v in rec_pq.items()},
-            "pq_adc_vs_exact_l2": {
-                f"pq_k={k}": avg(v) for k, v in rec_pq_l2.items()
-            },
+            "pq_adc": {cfg_key(c): avg(v) for c, v in rec_pq.items()},
+            "pq_adc_vs_exact_l2": {cfg_key(c): avg(v) for c, v in rec_pq_l2.items()},
             "ivf": {f"nprobe={n}": avg(v) for n, v in rec_ivf.items()},
             "ivf_pq": {
-                f"nprobe={n},pq_k={k}": avg(v)
-                for (n, k), v in rec_ivfpq.items()
+                f"nprobe={n},{cfg_key(c)}": avg(v)
+                for (n, c), v in rec_ivfpq.items()
+            },
+            "pq_adc_rerank": {
+                f"rerank={r},{cfg_key(c)}": avg(v)
+                for (r, c), v in rec_rerank.items()
+            },
+            "ivf_pq_rerank": {
+                f"nprobe={n},rerank={r},{cfg_key(c)}": avg(v)
+                for (n, r, c), v in rec_ivfpq_rerank.items()
             },
         },
         "compression": {
-            f"pq_k={k}": {
-                "bits_per_vector": PQ_SUBS * max(1, int(np.ceil(np.log2(k)))),
-                "vs_float32": round(
-                    64 * 32 / (PQ_SUBS * max(1, int(np.ceil(np.log2(k))))), 1
-                ),
+            cfg_key((subs, k)): {
+                "bits_per_vector": _bits(subs, k),
+                "vs_float32": round(DIM * 32 / _bits(subs, k), 1),
             }
+            for subs in PQ_SUBS_SWEEP
             for k in PQ_SIZES
         },
         "notes": (
@@ -204,10 +255,10 @@ def main() -> None:
             "deterministic Lloyd on the sf0.01 sample (the shipped-codebook "
             "pipeline); scoring = numpy twin of the engine's oracle-pinned "
             "ADC/cosine math. IVF loss = true neighbors in unprobed cells; "
-            "PQ loss = quantization; IVF-PQ = both. ADC approximates L2 on "
-            "raw vectors while the baseline is cosine — exact_l2_vs_cosine "
-            "is the metric-mismatch ceiling, pq_adc_vs_exact_l2 the "
-            "quantization loss proper; their product tracks pq_adc."
+            "PQ loss = quantization; IVF-PQ = both. The r8 curve was flat "
+            "in pq_k because pq_subs=4 (16 dims per code) was the binding "
+            "constraint — this sweep varies the sub-quantizer count, the "
+            "standard PQ recall lever."
         ),
     }
     with open(OUT, "w") as fh:
