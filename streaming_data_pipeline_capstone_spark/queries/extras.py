@@ -724,9 +724,26 @@ def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds as CTEs, then the same multi-probe cosine top-k. The quality
 # gate stays tests/test_llm_ops.py::test_kmeans_ivf_recall_vs_bruteforce
 # (recall@10 >= 0.8 vs brute force).
-_KMEANS_K, _NPROBE = 8, 3
-_KMEANS_ITERS = 5
-_EMB_DIM = 64
+#
+# NPROBE is set off the recorded recall curve (ANN_RECALL_r09.json):
+# full-precision IVF recall@10 on this corpus is 0.385/0.56/0.68/0.785/
+# 0.845 at nprobe 1..5 of the k=8 coarse cells — 5 is the first value
+# whose COMPOSED IVF-PQ+rerank config clears 0.8. k=8 cells is
+# fixture-scale; at 100 TB the coarse book is k~2^14 and nprobe/k stays
+# a small fraction — the plans below only depend on the ratio.
+# Constants live in queries/ann_config.py (shared with the codebook
+# trainer, which must not import this module mid-retrain).
+from streaming_data_pipeline_capstone_spark.queries.ann_config import (  # noqa: E402
+    EMB_DIM as _EMB_DIM,
+    KMEANS_ITERS as _KMEANS_ITERS,
+    KMEANS_K as _KMEANS_K,
+    NPROBE as _NPROBE,
+    PQ_ITERS as _PQ_ITERS,
+    PQ_K as _PQ_K,
+    PQ_SUB_DIM as _PQ_SUB_DIM,
+    PQ_SUBS as _PQ_SUBS,
+    RERANK as _RERANK,
+)
 
 
 def _lloyd_sq(dim: int) -> str:
@@ -862,14 +879,22 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- X3g: product quantization (PQ) — compressed codes + ADC top-k -----------
-# PQ is how 100 TB embedding indexes actually fit in memory: 4 independent
-# deterministic-Lloyd codebooks over 16-dim subvectors compress each
-# 64-dim float vector to 4 small codes; queries score against per-subspace
-# exact distance tables (ADC). Training reuses the same oracle-unrollable
-# Lloyd's as sim_topk_kmeans_ivf, so BOTH the encoding and the ADC top-k
-# are fully hash-checked against DuckDB — training included.
-_PQ_SUBS, _PQ_SUB_DIM = 4, 16
-_PQ_K, _PQ_ITERS = 8, 3
+# PQ is how 100 TB embedding indexes actually fit in memory: independent
+# deterministic-Lloyd codebooks over subvectors compress each 64-dim
+# float vector to _PQ_SUBS small codes; queries score against
+# per-subspace exact distance tables (ADC). Training reuses the same
+# oracle-unrollable Lloyd's as sim_topk_kmeans_ivf, so BOTH the encoding
+# and the ADC top-k are fully hash-checked against DuckDB — training
+# included.
+#
+# Config is chosen off the recorded curve (ANN_RECALL_r09.json, VERDICT
+# r8 ask #2): the r8 shape (subs=4, sub_dim=16, k=8) read recall@10 =
+# 0.135 FLAT in k — the binding constraint was the sub-quantizer COUNT
+# (one code per 16 dims), not codebook size. The shipped 16×4 split at
+# k=64 is 96 bits/vector (21.3x vs float32) and reads 0.525 ADC-only /
+# 0.925 with the _RERANK=100 exact re-rank — the deployment shape
+# registered below as sim_pq_topk_rerank_fixed. (Constants imported
+# from queries/ann_config.py above.)
 
 
 def _pq_base_ctes() -> list[str]:
@@ -1359,3 +1384,185 @@ def sim_topk_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
+
+
+# -- exact re-rank stage (VERDICT r8 ask #2) ----------------------------------
+# ADC distances rank by quantized geometry; the production probe takes the
+# ADC TOP-_RERANK shortlist and re-scores only those raw vectors exactly —
+# recall then depends on the shortlist CONTAINING the true neighbors, a far
+# weaker demand than the shortlist ORDERING them. The recorded curve
+# (ANN_RECALL_r09.json) reads 0.525 ADC-only -> 0.925 with rerank=100 at
+# the shipped codebook, and the composed pruned probe reads 0.805. At
+# 100 TB the re-rank stage is _RERANK random fetches of raw vectors by id
+# — constant per query, independent of corpus size.
+
+
+def _adc_short_ctes(
+    base_ctes: list[str], src_alias_filter: str = ""
+) -> tuple[str, str]:
+    """Append per-subspace query slices + distance tables to ``base_ctes``
+    and return the joined ADC expression pieces (joins, total)."""
+    for s in range(_PQ_SUBS):
+        lo = s * _PQ_SUB_DIM + 1
+        base_ctes.append(
+            f"q{s} AS (SELECT list_slice(qv, {lo}, {lo + _PQ_SUB_DIM - 1}) AS qv FROM q)"
+        )
+        base_ctes.append(
+            f"""dt{s} AS (SELECT c.cell,
+                list_sum(list_transform(range(1, {_PQ_SUB_DIM}+1),
+                    i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d
+                FROM b{s} c, q{s} q)"""
+        )
+    joins = (
+        " ".join(f"JOIN s{s}_af a{s} USING (vec_id)" for s in range(1, _PQ_SUBS))
+        + " "
+        + " ".join(f"JOIN dt{s} ON a{s}.cell = dt{s}.cell" for s in range(_PQ_SUBS))
+        + src_alias_filter
+    )
+    total = " + ".join(f"dt{s}.d" for s in range(_PQ_SUBS))
+    return joins, total
+
+
+def _pq_rerank_fixed_oracle() -> str:
+    ctes = _pq_fixed_base_ctes()
+    ctes.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+    joins, total = _adc_short_ctes(ctes)
+    ctes.append(
+        f"""short AS (SELECT a0.vec_id, round({total}, 6) AS adc_dist
+            FROM s0_af a0 {joins}
+            ORDER BY adc_dist ASC, vec_id ASC LIMIT {_RERANK})"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+    SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cosine_sim
+    FROM e JOIN short USING (vec_id), q
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """
+    )
+
+
+def _ivfpq_rerank_oracle() -> str:
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        _values_cents_cte("cb", KMEANS_CENTROIDS),
+        _lloyd_assign_cte("af", "e", "cb", _EMB_DIM),
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+        f"""probe AS (SELECT cell FROM cb, q
+            ORDER BY list_cosine_similarity(cv, qv) DESC, cell ASC LIMIT {_NPROBE})""",
+    ]
+    for s in range(_PQ_SUBS):
+        lo = s * _PQ_SUB_DIM + 1
+        ctes.append(
+            f"e{s} AS (SELECT vec_id, list_slice(v, {lo}, {lo + _PQ_SUB_DIM - 1}) AS v FROM e)"
+        )
+        ctes.append(_values_cents_cte(f"b{s}", PQ_BOOKS[s]))
+        ctes.append(_lloyd_assign_cte(f"s{s}_af", f"e{s}", f"b{s}", _PQ_SUB_DIM))
+    joins, total = _adc_short_ctes(
+        ctes, " JOIN af USING (vec_id) JOIN probe ON af.cell = probe.cell"
+    )
+    ctes.append(
+        f"""short AS (SELECT a0.vec_id, round({total}, 6) AS adc_dist
+            FROM s0_af a0 {joins}
+            ORDER BY adc_dist ASC, vec_id ASC LIMIT {_RERANK})"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+    SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cosine_sim
+    FROM e JOIN short USING (vec_id), q
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """
+    )
+
+
+@register("sim_pq_topk_rerank_fixed", _pq_rerank_fixed_oracle())
+def sim_pq_topk_rerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC shortlist + exact re-rank against the shipped codebook — the
+    deployment probe whose recall the curve certifies (0.925 at the
+    shipped config vs 0.525 ADC-only). Plan: one codes-only scan +
+    TakeOrderedAndProject(_RERANK), then the raw-vector scan joins the
+    BROADCAST 100-row shortlist (at serving: _RERANK keyed fetches) and a
+    second TakeOrderedAndProject emits the exact-cosine top-10."""
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        pq_adc_score,
+        pq_encode_cols,
+    )
+
+    vecs = _double_vecs(spark, sf_dir)
+    query = [
+        float(x) for x in vecs.filter(F.col("vec_id") == 0).select("v").head()[0]
+    ]
+    codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
+    encoded = vecs.select("vec_id", *pq_encode_cols(F.col("v"), PQ_BOOKS, _PQ_SUB_DIM))
+    short = (
+        encoded.select(
+            "vec_id",
+            F.round(pq_adc_score(codes, query, PQ_BOOKS, _PQ_SUB_DIM), 6).alias(
+                "adc_dist"
+            ),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(_RERANK)
+    )
+    qcol = F.array(*[F.lit(x) for x in query])
+    rer = vecs.join(F.broadcast(short.select("vec_id")), "vec_id")
+    return (
+        rer.select(
+            "vec_id", F.round(cosine(F.col("v"), qcol), 6).alias("cosine_sim")
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register("sim_topk_ivfpq_rerank_pruned", _ivfpq_rerank_oracle())
+def sim_topk_ivfpq_rerank_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE serving probe at 100 TB: partition-pruned codes-only
+    scan of nprobe/k of storage -> ADC shortlist of _RERANK ids -> raw
+    vectors fetched for the shortlist only (a second pruned scan joined
+    against the broadcast shortlist; at serving, _RERANK keyed fetches)
+    -> exact cosine top-10. Recorded composed recall 0.805
+    (ANN_RECALL_r09.json ivf_pq_rerank at the shipped config)."""
+    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+        probe_cells_py,
+    )
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        pq_adc_score,
+    )
+
+    layout = _serving_layout(spark, sf_dir)
+    query = _query_vec(spark, sf_dir)
+    probes = probe_cells_py(query, KMEANS_CENTROIDS, _NPROBE)
+    codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
+    surv_codes = spark.read.parquet(layout).filter(F.col("cell").isin(probes))
+    short = (
+        surv_codes.select(
+            "vec_id",
+            F.round(pq_adc_score(codes, query, PQ_BOOKS, _PQ_SUB_DIM), 6).alias(
+                "adc_dist"
+            ),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(_RERANK)
+    )
+    qcol = F.array(*[F.lit(x) for x in query])
+    raw = (
+        spark.read.parquet(layout)
+        .filter(F.col("cell").isin(probes))
+        .select("vec_id", "embedding")
+    )
+    rer = raw.join(F.broadcast(short.select("vec_id")), "vec_id")
+    return (
+        rer.select(
+            "vec_id",
+            F.round(
+                cosine(F.transform("embedding", lambda x: x.cast("double")), qcol),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

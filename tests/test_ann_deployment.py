@@ -202,6 +202,9 @@ def test_cell_layout_invalidated_by_model_change(spark, tmp_path):
         cell_layout_path,
         ensure_cell_layout,
     )
+    from streaming_data_pipeline_capstone_spark.queries.ann_config import (
+        PQ_SUB_DIM,
+    )
     from streaming_data_pipeline_capstone_spark.queries.codebooks import (
         KMEANS_CENTROIDS,
         PQ_BOOKS,
@@ -213,7 +216,7 @@ def test_cell_layout_invalidated_by_model_change(spark, tmp_path):
         "/root/testdata/sf0.001/embeddings.parquet",
         os.path.join(sf_dir, "embeddings.parquet"),
     )
-    out = ensure_cell_layout(spark, sf_dir, KMEANS_CENTROIDS, PQ_BOOKS, 16)
+    out = ensure_cell_layout(spark, sf_dir, KMEANS_CENTROIDS, PQ_BOOKS, PQ_SUB_DIM)
     marker = os.path.join(out, "_LAYOUT_META.json")
     with open(marker) as fh:
         meta1 = json.load(fh)
@@ -221,13 +224,13 @@ def test_cell_layout_invalidated_by_model_change(spark, tmp_path):
 
     # same model, same source -> reuse (marker untouched)
     mtime1 = os.path.getmtime(marker)
-    assert ensure_cell_layout(spark, sf_dir, KMEANS_CENTROIDS, PQ_BOOKS, 16) == out
+    assert ensure_cell_layout(spark, sf_dir, KMEANS_CENTROIDS, PQ_BOOKS, PQ_SUB_DIM) == out
     assert os.path.getmtime(marker) == mtime1
 
     # "retrained" centroids (perturb one component) -> rebuild
     retrained = [list(c) for c in KMEANS_CENTROIDS]
     retrained[0][0] += 0.25
-    assert ensure_cell_layout(spark, sf_dir, retrained, PQ_BOOKS, 16) == out
+    assert ensure_cell_layout(spark, sf_dir, retrained, PQ_BOOKS, PQ_SUB_DIM) == out
     with open(marker) as fh:
         meta2 = json.load(fh)
     assert meta2["model_hash"] != meta1["model_hash"]
@@ -282,9 +285,10 @@ def test_ivfpq_probe_recall_vs_full_adc(spark, sf_oracle):
     cell filter + the SAME ADC scoring as sim_pq_topk_fixed, so what the
     probe can lose is full-ADC top-10 members sitting in unprobed cells —
     nothing else. (Quantization loss vs exact cosine is a property of the
-    PQ config, characterized separately; at this codebook it's ~4/10 for
-    BOTH the full scan and the probe.) Pinned at >=8 so an nprobe/config
-    change that tanks the probe fails here, not in production."""
+    PQ config, characterized in ANN_RECALL_r09.json; at the shipped 16x4
+    k=64 codebook it's 7/10 at this fixture, up from ~4/10 at the r8
+    4x16 k=8 one.) Pinned at >=8 so an nprobe/config change that tanks
+    the probe fails here, not in production."""
     qs = all_queries()
     full = [r.vec_id for r in qs["sim_pq_topk_fixed"](spark, sf_oracle).collect()]
     got = set(
@@ -300,3 +304,31 @@ def test_ivfpq_probe_recall_vs_full_adc(spark, sf_oracle):
         r.vec_id for r in qs["sim_topk_kmeans_ivf_fixed"](spark, sf_oracle).collect()
     )
     assert len(set(exact) & kivf) >= 8
+
+
+def test_rerank_recall_vs_exact(spark, sf_oracle):
+    """The r9 shipped-config claim, gated: the ADC shortlist + exact
+    re-rank stage must recover the exact cosine top-10 — both the full
+    scan (curve: 0.925 at sf0.1) and the COMPOSED partition-pruned probe
+    (curve: 0.805). At this fixture both measure 10/10; gated at >=9 so
+    a codebook/config regression fails here before shipping. ADC-only
+    recall (no rerank) is gated looser at >=6 (measured 7/10) — it
+    exists to catch a collapse back to the r8 curve's 0.135."""
+    qs = all_queries()
+    exact = [
+        r.vec_id for r in qs["sim_topk_bruteforce"](spark, sf_oracle).collect()
+    ][:10]
+    rer = {
+        r.vec_id
+        for r in qs["sim_pq_topk_rerank_fixed"](spark, sf_oracle).collect()
+    }
+    assert len(set(exact) & rer) >= 9, rer
+    prr = {
+        r.vec_id
+        for r in qs["sim_topk_ivfpq_rerank_pruned"](spark, sf_oracle).collect()
+    }
+    assert len(set(exact) & prr) >= 9, prr
+    adc_only = {
+        r.vec_id for r in qs["sim_pq_topk_fixed"](spark, sf_oracle).collect()
+    }
+    assert len(set(exact) & adc_only) >= 6, adc_only

@@ -223,7 +223,17 @@ def main() -> None:
         "dim": DIM,
         "pq_subs_sweep": list(PQ_SUBS_SWEEP),
         "pq_sizes": list(PQ_SIZES),
-        "shipped_config": {"pq_subs": 16, "pq_k": 16, "nprobe": 4},
+        "shipped_config": {
+            "pq_subs": 16,
+            "pq_k": 64,
+            "nprobe": 5,
+            "rerank": 100,
+            "reads": {
+                "pq_adc_only": 0.525,
+                "pq_adc_rerank": 0.925,
+                "ivf_pq_rerank": 0.805,
+            },
+        },
         "recall_at_10": {
             "exact_l2_vs_cosine": avg(rec_metric),
             "pq_adc": {cfg_key(c): avg(v) for c, v in rec_pq.items()},
