@@ -819,7 +819,13 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the in-session stand-in for the production shape, where stage
     # verdicts are checkpointed parquet between jobs (demonstrated by
     # plans/curation_ckpt.py, pinned row-identical to this query).
+    #
+    # The count() populates the cache EAGERLY: without it, the
+    # bucket-offsets broadcast job and the main stages race to
+    # materialize the same InMemoryRelation and the survivor chain can
+    # execute twice concurrently (measured: up to 2x wall at sf1).
     surv = surv.persist()
+    surv.count()
     # bucket width derives from the base table's doc_id bounds (a cheap
     # 1-column scan), NOT the survivor frame — bounds from survivors would
     # re-run the whole dedup/quality/decontam chain just to size buckets.
