@@ -81,6 +81,11 @@ BENCH_QUERIES = [
     # BENCH_r07 and earlier; cross-round suite comparisons must compare
     # per-query or exclude it.
     "pipeline_curation_full",
+    # round-9 addition: the complete ANN serving probe (partition-pruned
+    # codes scan -> ADC shortlist -> exact re-rank) at the shipped
+    # 16x4/k=64 codebook — the query whose recall ANN_RECALL_r09.json
+    # certifies. NOTE: totals grew again; compare per-query across rounds.
+    "sim_topk_ivfpq_rerank_pruned",
 ]
 
 WARM_COLD_TOL = 1.25  # warm may exceed cold by noise, not by 25%
@@ -306,7 +311,8 @@ def main() -> None:
                 # must use cold_total vs old value, or warm vs warm.
                 "metric_note": (
                     "value=warm since r3; min over fresh-JVM legs since r7; "
-                    "suite +pipeline_curation_full since r8 (compare "
+                    "suite +pipeline_curation_full since r8, "
+                    "+sim_topk_ivfpq_rerank_pruned since r9 (compare "
                     "per-query across rounds, not totals)"
                 ),
                 "queries": warm,
