@@ -18,6 +18,16 @@ runs that round 2's quality module didn't cover.
   ~30% of everything else) via a multiplicative integer hash of doc_id —
   reproducible across engines and runs, no RNG state, embarrassingly
   parallel.
+- **DSIR importance weights** (`mixture_dsir_weights`): Xie et al. 2023's
+  hashed-ngram importance resampling scores — per-doc integer micro-nat
+  log-weights toward the eval-slice target distribution, computed from two
+  Laplace-smoothed bag-of-hashed-ngrams models. The log-ratio table is
+  O(buckets) metadata and broadcasts; the corpus side is one scan + one
+  doc_id-keyed integer aggregation.
+- **DSIR resampling** (`mixture_dsir_resample`): the paper's selection
+  step — sample k docs ∝ exp(log w) without replacement via Gumbel-top-k,
+  with the Gumbel noise derived from the deterministic Knuth hash (RNG-
+  free, integer ranking key, zero-shuffle TakeOrderedAndProject top-k).
 - **Composite quality decision** (`quality_filter_composite`): the
   decision form of filtering — per doc, keep/drop plus the FIRST failing
   rule as a reason code (language allowlist, token-count bounds, mean
@@ -340,6 +350,197 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "n_docs", "rate")
         .agg(F.coalesce(F.sum(F.when(kept, 1)), F.lit(0)).alias("n_kept"))
         .select("lang", "n_docs", "rate", "n_kept")
+    )
+
+
+# -- DSIR importance weights ---------------------------------------------------
+# Data Selection for Language Models via Importance Resampling (Xie et al.,
+# NeurIPS 2023): score every raw-corpus document by how target-like it is
+# under two bag-of-hashed-ngrams generative models — one fit on a target
+# (benchmark-like) sample, one on the raw corpus — and resample with
+# probability ∝ exp(log w), log w(doc) = Σ_gram [ln p_target(bucket(gram))
+# − ln p_raw(bucket(gram))]. Features are UNIGRAM+BIGRAM occurrences (the
+# paper's hashed n-gram featurization) hashed into `_DSIR_BUCKETS` buckets
+# via md5 hex prefix (portable across engines, same trick as MinHash); both
+# models are Laplace-smoothed multinomials over buckets.
+#
+# Target distribution here = the deterministic eval slice (doc_id %
+# _EVAL_MOD == 0), the same stand-in "benchmark" sample decontamination
+# uses; scored docs are the non-eval corpus.
+#
+# 100 TB shape: the per-bucket log-ratio table is O(_DSIR_BUCKETS) rows of
+# model METADATA — it broadcasts at any corpus size — so the corpus side is
+# one scan producing (doc_id, bucket) occurrences, one broadcast hash join,
+# and ONE doc_id-keyed aggregation with map-side partials. The bucket-stats
+# side is a second scan aggregated on the 4096-key bucket space (tiny,
+# skew-free). No vocabulary-sized state anywhere — that is the point of the
+# paper's hashing trick, and it is what makes the op linear at scale.
+#
+# Cross-engine determinism: per-bucket log-ratios are rounded ONCE into
+# integer micro-nats (round(lr·1e6) → BIGINT), and every per-doc weight is
+# an INTEGER sum of those — bit-identical under any aggregation order in
+# both engines, immune to float-summation non-associativity.
+_DSIR_BUCKETS = 4096   # 3 md5 hex chars → the hashed-feature space
+_MICRO = 1_000_000     # fixed-point scale: micro-nats end-to-end
+
+
+@register(
+    "mixture_dsir_weights",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             doc_id % {_EVAL_MOD} = 0 AS is_eval,
+             substr(md5(unnest(list_concat(t,
+               list_transform(range(1, len(t)),
+                              i -> array_to_string(list_slice(t, i, i + 1), ' '))
+             ))), 1, 3) AS bkt
+      FROM t
+    ),
+    s AS (
+      SELECT bkt,
+             SUM(CASE WHEN is_eval THEN 1 ELSE 0 END) AS c_t,
+             SUM(CASE WHEN is_eval THEN 0 ELSE 1 END) AS c_s
+      FROM g GROUP BY bkt
+    ),
+    tot AS (SELECT SUM(c_t) AS tot_t, SUM(c_s) AS tot_s FROM s),
+    r AS (
+      SELECT bkt,
+             CAST(round((ln((c_t + 1.0) / (tot_t + {_DSIR_BUCKETS}.0))
+                       - ln((c_s + 1.0) / (tot_s + {_DSIR_BUCKETS}.0)))
+                  * {_MICRO}.0) AS BIGINT) AS lr_micro
+      FROM s, tot
+    )
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(SUM(lr_micro) AS BIGINT) AS log_w_micro
+    FROM g JOIN r USING (bkt)
+    WHERE NOT is_eval
+    GROUP BY doc_id
+    """,
+)
+def mixture_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    with_t = docs.select("doc_id", tokens("text").alias("t"))
+    tt = F.col("t")
+    # unigram+bigram OCCURRENCES (multiset — counts matter for the
+    # multinomial models, unlike the distinct-gram decontam sets)
+    bigrams_full = F.transform(tt, lambda x, i: F.array_join(F.slice(tt, i + 1, 2), " "))
+    bigrams = F.slice(bigrams_full, F.lit(1), F.greatest(F.size(tt) - 1, F.lit(0)))
+    g = with_t.select(
+        "doc_id",
+        (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
+        F.explode(F.concat(tt, bigrams)).alias("gram"),
+    ).select("doc_id", "is_eval", F.substring(F.md5("gram"), 1, 3).alias("bkt"))
+    stats = g.groupBy("bkt").agg(
+        F.sum(F.when(F.col("is_eval"), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("is_eval"), 0).otherwise(1)).alias("c_s"),
+    )
+    # corpus-wide totals via a global window over the ≤4096-row bucket
+    # frame (model METADATA — the single-partition exchange moves KBs, the
+    # same trick mixture_temperature_sample uses). A crossJoin against a
+    # separate stats.agg() would re-plan the whole stats subtree twice.
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy(F.lit(1))
+    totals = stats.select(
+        "bkt",
+        "c_t",
+        "c_s",
+        F.sum("c_t").over(w_all).alias("tot_t"),
+        F.sum("c_s").over(w_all).alias("tot_s"),
+    )
+    lr = F.log((F.col("c_t") + 1.0) / (F.col("tot_t") + float(_DSIR_BUCKETS))) - F.log(
+        (F.col("c_s") + 1.0) / (F.col("tot_s") + float(_DSIR_BUCKETS))
+    )
+    ratio = totals.select(
+        "bkt", F.round(lr * _MICRO, 0).cast("bigint").alias("lr_micro")
+    )
+    return (
+        g.filter(~F.col("is_eval"))
+        .join(F.broadcast(ratio), "bkt")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.sum("lr_micro").alias("log_w_micro"))
+    )
+
+
+# -- DSIR resampling (Gumbel-top-k selection) -----------------------------------
+# The paper's second half: SELECT k documents with probability ∝ exp(log w)
+# without replacement — exactly the Gumbel-top-k trick (add iid
+# Gumbel(0,1) noise to each log-weight, take the k largest). The noise here
+# is the repo's RNG-free stand-in: u = (knuth_hash(doc_id) + 0.5) / 2^20 ∈
+# (0,1), g = −ln(−ln u) — any engine reproduces the exact selection. The
+# Gumbel term is rounded ONCE to integer micro-nats and added to the
+# integer log-weight, so the ranking key is a BIGINT — no float-order
+# ambiguity; ties break on doc_id.
+#
+# 100 TB shape: everything up to the score is mixture_dsir_weights' 3-
+# exchange plan plus per-row arithmetic; the global top-k compiles to
+# TakeOrderedAndProject (per-partition heaps + one k-row reduce), the same
+# zero-shuffle pattern as sort_top20_orders — no global sort materializes.
+_DSIR_TAKE = 100
+
+
+@register(
+    "mixture_dsir_resample",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             doc_id % {_EVAL_MOD} = 0 AS is_eval,
+             substr(md5(unnest(list_concat(t,
+               list_transform(range(1, len(t)),
+                              i -> array_to_string(list_slice(t, i, i + 1), ' '))
+             ))), 1, 3) AS bkt
+      FROM t
+    ),
+    s AS (
+      SELECT bkt,
+             SUM(CASE WHEN is_eval THEN 1 ELSE 0 END) AS c_t,
+             SUM(CASE WHEN is_eval THEN 0 ELSE 1 END) AS c_s
+      FROM g GROUP BY bkt
+    ),
+    tot AS (SELECT SUM(c_t) AS tot_t, SUM(c_s) AS tot_s FROM s),
+    r AS (
+      SELECT bkt,
+             CAST(round((ln((c_t + 1.0) / (tot_t + {_DSIR_BUCKETS}.0))
+                       - ln((c_s + 1.0) / (tot_s + {_DSIR_BUCKETS}.0)))
+                  * {_MICRO}.0) AS BIGINT) AS lr_micro
+      FROM s, tot
+    ),
+    w AS (
+      SELECT doc_id, CAST(SUM(lr_micro) AS BIGINT) AS log_w_micro
+      FROM g JOIN r USING (bkt)
+      WHERE NOT is_eval
+      GROUP BY doc_id
+    )
+    SELECT doc_id, log_w_micro,
+           log_w_micro + CAST(round(
+             -ln(-ln(((doc_id * {_MIX_MULT}) % {_MIX_SPACE} + 0.5) / {_MIX_SPACE}.0))
+             * {_MICRO}.0) AS BIGINT) AS score_micro
+    FROM w
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {_DSIR_TAKE}
+    """,
+)
+def mixture_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = mixture_dsir_weights(spark, sf_dir)
+    u = ((F.col("doc_id") * _MIX_MULT) % _MIX_SPACE + 0.5) / float(_MIX_SPACE)
+    gumbel_micro = F.round(-F.log(-F.log(u)) * _MICRO, 0).cast("bigint")
+    return (
+        w.select(
+            "doc_id",
+            "log_w_micro",
+            (F.col("log_w_micro") + gumbel_micro).alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(_DSIR_TAKE)
     )
 
 

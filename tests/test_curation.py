@@ -5,14 +5,19 @@ engines would fail them together if the logic itself were wrong."""
 from __future__ import annotations
 
 from streaming_data_pipeline_capstone_spark.queries.curation import (
+    _DSIR_TAKE,
     _EVAL_MOD,
     _LANG_ALLOW,
+    _MIX_MULT,
+    _MIX_SPACE,
     _N_SHARDS,
     _PACK_BUDGET,
     corpus_shard_shuffle,
     curation_pii_scrub,
     decontam_ngram_overlap,
     decontam_ngram_overlap_w8,
+    mixture_dsir_resample,
+    mixture_dsir_weights,
     mixture_sample_by_lang,
     mixture_temperature_sample,
     pack_token_budget,
@@ -48,6 +53,64 @@ def test_decontam_w8_finds_planted_contamination(spark, tmp_path):
     df.coalesce(1).write.parquet(d + "/documents.parquet")
     got = {r["doc_id"]: r["n_shared_ngrams"] for r in decontam_ngram_overlap_w8(spark, d).collect()}
     assert got == {1: 1}, f"only the verbatim-8-gram doc should flag, got {got}"
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark, tmp_path):
+    # DSIR's defining property: a corpus doc written in the target (eval
+    # slice) distribution outscores one written in a disjoint vocabulary.
+    # doc 0 ≡ 0 mod _EVAL_MOD is the target sample; doc 1 repeats its
+    # wording, doc 2 shares nothing with it.
+    eval_text = "navigate the harbor channel past the breakwater at dusk"
+    rows = [
+        (0, eval_text, "en", "eval", 1),
+        (1, eval_text, "en", "web", 1),
+        (2, "quarterly revenue grew despite persistent supply shortages", "en", "web", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "dsir")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+    got = {r["doc_id"]: r for r in mixture_dsir_weights(spark, d).collect()}
+    assert set(got) == {1, 2}, "eval docs must not be scored"
+    assert got[1]["log_w_micro"] > got[2]["log_w_micro"]
+    # unigram+bigram occurrence count: 2·len − 1 tokens per doc
+    for doc_id, r in got.items():
+        n_tok = len(rows[doc_id][1].split())
+        assert r["n_grams"] == 2 * n_tok - 1
+
+
+def test_dsir_weights_exclude_eval_and_are_integer_exact(spark, sf_smoke):
+    out = mixture_dsir_weights(spark, sf_smoke)
+    rows = out.collect()
+    assert rows
+    assert dict(out.dtypes)["log_w_micro"] == "bigint"
+    for r in rows:
+        assert r["doc_id"] % _EVAL_MOD != 0
+        assert r["n_grams"] >= 1
+
+
+def test_dsir_resample_is_gumbel_topk_of_weights(spark, sf_smoke):
+    # the selection must be exactly the k largest (log_w + gumbel(hash))
+    # scores — recompute the ranking key independently and compare sets
+    import math
+
+    took = mixture_dsir_resample(spark, sf_smoke).collect()
+    assert len(took) == _DSIR_TAKE
+    assert dict.fromkeys(r["doc_id"] for r in took)  # no dup docs
+    weights = {
+        r["doc_id"]: r["log_w_micro"]
+        for r in mixture_dsir_weights(spark, sf_smoke).collect()
+    }
+
+    def score(doc_id):
+        u = ((doc_id * _MIX_MULT) % _MIX_SPACE + 0.5) / _MIX_SPACE
+        return weights[doc_id] + round(-math.log(-math.log(u)) * 1_000_000)
+
+    expect = sorted(weights, key=lambda d: (-score(d), d))[:_DSIR_TAKE]
+    assert sorted(r["doc_id"] for r in took) == sorted(expect)
+    for r in took:
+        assert r["score_micro"] == score(r["doc_id"])
 
 
 def test_mixture_keeps_all_english(spark, sf_smoke):

@@ -80,6 +80,8 @@ SHUFFLE_BUDGET = {
     "join_salted_revenue": 1,
     "join_semi_high_value": 0,
     "join_topk_orders": 1,
+    "mixture_dsir_resample": 3,  # the weights plan; the global top-k is TakeOrderedAndProject, no exchange
+    "mixture_dsir_weights": 3,  # bucket stats + metadata-frame totals window + doc_id rollup; ratio table broadcast
     "mixture_sample_by_lang": 1,
     "mixture_temperature_sample": 3,  # lang counts + metadata window + final rollup; corpus side broadcast-joined
     "ml_score_stub": 0,
