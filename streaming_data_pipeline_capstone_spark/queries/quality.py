@@ -12,7 +12,12 @@ between "raw crawl" and "training shards":
   intermediates, what ships is "keep this doc or not";
 - int8 quantization is the standard 4× memory cut for embedding indexes;
 - multi-resolution rollups make dashboard-grain queries read pre-aggregated
-  rows instead of rescanning raw events.
+  rows instead of rescanning raw events;
+- the trained quality classifier (`quality_classifier_trained`) is the
+  production form of quality filtering — a logistic model distilling the
+  rule cascade into four per-row arithmetic expressions, trained on-the-
+  data by damped IRLS (plans/train.py) with the training loop itself
+  oracle-checked via unrolled SQL.
 
 Every entry is oracle-checked against DuckDB, fractions computed as
 int/int double divisions (bit-identical across engines) so even the
@@ -25,6 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streaming_data_pipeline_capstone_spark.operators.textstats import tokens
+from streaming_data_pipeline_capstone_spark.plans.train import (
+    dot_expr,
+    fit_logistic_irls,
+    irls_iterations_sql,
+)
 from streaming_data_pipeline_capstone_spark.registry import register
 from streaming_data_pipeline_capstone_spark.sources.readers import read_table
 
@@ -309,4 +319,126 @@ def rollup_events_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value_raw", 6).alias("min_value"),
         F.round("max_value_raw", 6).alias("max_value"),
         F.round(F.col("sum_raw") / F.col("n_events"), 6).alias("avg_value"),
+    )
+
+
+# -- trained quality classifier (logistic regression by damped IRLS) ----------
+# The production quality-model shape (fastText/DCLM-style): the expensive
+# rule cascade (text_quality_gopher needs the full unigram+bigram explode)
+# becomes the WEAK LABEL for a cheap linear model over per-row features
+# that need no shuffle at all — at 100 TB you run the rules once on a
+# slice, fit the model, and score the whole corpus with four arithmetic
+# expressions per row. Training is genuinely on-the-data: _QC_ITERS
+# damped-IRLS iterations, each one map-side-combinable aggregation of
+# weighted sufficient statistics (plans/train.py fit_logistic_irls — the
+# X'WX/X'Wz analogue of the OLS trainer) over the PERSISTED training
+# split, solved on the driver by the Cramer mirror of the oracle's
+# generated SQL. The only driver traffic is iters tiny stats rows.
+#
+# The oracle replicates the ENTIRE pipeline — features, weak label,
+# split, all three IRLS iterations (unrolled CTEs from
+# irls_iterations_sql), solve, and scoring — so CORRECTNESS covers the
+# training loop itself, like the trained OLS and trained-k-means
+# precedents. Output is the HELD-OUT docs (doc_id % 5 == 4) with the
+# model's score/decision next to the rule label; the accuracy gate lives
+# in tests/test_quality.py (model must beat the majority-class baseline).
+_QC_FEATURES = ["one", "ntok_k", "ttr", "stop_frac"]
+_QC_HOLDOUT_MOD = 5
+_QC_ITERS = 3
+_QC_SCORE_ROUND = 6
+
+_QC_STOP_IN = ", ".join("'" + w + "'" for w in _STOPWORDS)
+_QC_LABEL_RULE = f"""(n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+            AND CAST(top_c AS DOUBLE) / n_tokens <= {_MAX_TOP_TOKEN_FRAC}
+            AND CAST(rep_c AS DOUBLE) / n_tokens <= {_MAX_REPEATED_FRAC}
+            AND CAST(top_bg_c AS DOUBLE) / greatest(n_tokens - 1, 1) <= {_MAX_TOP_BIGRAM_FRAC}
+            AND CAST(stop_c AS DOUBLE) / n_tokens >= {_MIN_STOPWORD_FRAC})"""
+
+_QC_IRLS_SQL, _QC_COEF_CTE = irls_iterations_sql("tr", _QC_FEATURES, "y", _QC_ITERS)
+_QC_XB_SQL = " + ".join(f"c{k} * ({f})" for k, f in enumerate(_QC_FEATURES))
+
+
+@register(
+    "quality_classifier_trained",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tok,
+             1.0 AS one,
+             CAST(len(t) AS DOUBLE) / 1000.0 AS ntok_k,
+             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+             CAST(len(list_filter(t, x -> x IN ({_QC_STOP_IN}))) AS DOUBLE) / len(t) AS stop_frac
+      FROM d
+    ),
+    u AS (
+      SELECT doc_id, 'u' AS kind, unnest(t) AS item FROM d
+      UNION ALL
+      SELECT doc_id, 'b' AS kind,
+             unnest(list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1])))
+      FROM d WHERE len(t) >= 2
+    ),
+    c AS (
+      SELECT doc_id, kind, item, COUNT(*) AS c FROM u GROUP BY doc_id, kind, item
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(SUM(c) FILTER (WHERE kind = 'u') AS BIGINT) AS n_tokens,
+             MAX(c) FILTER (WHERE kind = 'u') AS top_c,
+             COALESCE(SUM(c) FILTER (WHERE kind = 'u' AND c >= 2), 0) AS rep_c,
+             COALESCE(MAX(c) FILTER (WHERE kind = 'b'), 0) AS top_bg_c,
+             COALESCE(SUM(c) FILTER (WHERE kind = 'u'
+               AND item IN ({_QC_STOP_IN})), 0) AS stop_c
+      FROM c GROUP BY doc_id
+    ),
+    lab AS (SELECT doc_id, {_QC_LABEL_RULE} AS passes_quality FROM s),
+    j AS (
+      SELECT feat.*, lab.passes_quality,
+             CASE WHEN lab.passes_quality THEN 1.0 ELSE 0.0 END AS y
+      FROM feat JOIN lab USING (doc_id)
+    ),
+    tr AS (SELECT * FROM j WHERE doc_id % {_QC_HOLDOUT_MOD} <> {_QC_HOLDOUT_MOD - 1}),
+    {_QC_IRLS_SQL}
+    SELECT doc_id, n_tok, ttr, stop_frac,
+           round(1.0 / (1.0 + exp(-({_QC_XB_SQL}))), {_QC_SCORE_ROUND}) AS quality_score,
+           round(1.0 / (1.0 + exp(-({_QC_XB_SQL}))), {_QC_SCORE_ROUND}) >= 0.5 AS pred_keep,
+           passes_quality
+    FROM j, {_QC_COEF_CTE}
+    WHERE doc_id % {_QC_HOLDOUT_MOD} = {_QC_HOLDOUT_MOD - 1}
+    """,
+)
+def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    with_t = docs.select("doc_id", tokens("text").alias("t"))
+    t = F.col("t")
+    n = F.size(t)
+    feat = with_t.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tok"),
+        F.lit(1.0).alias("one"),
+        (n.cast("double") / F.lit(1000.0)).alias("ntok_k"),
+        (F.size(F.array_distinct(t)).cast("double") / n).alias("ttr"),
+        (
+            F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS))).cast("double") / n
+        ).alias("stop_frac"),
+    )
+    lab = text_quality_gopher(spark, sf_dir).select("doc_id", "passes_quality")
+    j = feat.join(lab, "doc_id").withColumn(
+        "y", F.col("passes_quality").cast("double")
+    )
+    holdout = F.col("doc_id") % _QC_HOLDOUT_MOD == _QC_HOLDOUT_MOD - 1
+    beta = fit_logistic_irls(j.filter(~holdout), _QC_FEATURES, "y", _QC_ITERS)
+    xb = dot_expr(_QC_FEATURES, beta)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-xb)), _QC_SCORE_ROUND)
+    return j.filter(holdout).select(
+        "doc_id",
+        "n_tok",
+        "ttr",
+        "stop_frac",
+        score.alias("quality_score"),
+        (score >= 0.5).alias("pred_keep"),
+        "passes_quality",
     )

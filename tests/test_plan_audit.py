@@ -98,6 +98,7 @@ SHUFFLE_BUDGET = {
     "pipeline_predict_trained": 1,  # one exchange on user_id serves lag+lead
     "pipeline_preprocess_full": 0,
     "profile_orders": 2,
+    "quality_classifier_trained": 2,  # the weak-label (gopher) side's two doc_id exchanges; feature side is per-row, scoring is literal arithmetic
     "quality_filter_composite": 0,
     "rollup_events_multires": 2,  # 1-min grain agg + 5-min cascade: two keyed exchanges
     "scalar_affine_pixel": 0,
