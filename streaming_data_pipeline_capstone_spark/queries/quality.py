@@ -411,11 +411,28 @@ _QC_XB_SQL = " + ".join(f"c{k} * ({f})" for k, f in enumerate(_QC_FEATURES))
     """,
 )
 def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    j = _qc_labeled_frame(spark, sf_dir)
+    holdout = F.col("doc_id") % _QC_HOLDOUT_MOD == _QC_HOLDOUT_MOD - 1
+    beta = fit_logistic_irls(j.filter(~holdout), _QC_FEATURES, "y", _QC_ITERS)
+    return score_quality(j.filter(holdout), beta).select(
+        "doc_id",
+        "n_tok",
+        "ttr",
+        "stop_frac",
+        "quality_score",
+        "pred_keep",
+        "passes_quality",
+    )
+
+
+def qc_feature_frame(docs: DataFrame) -> DataFrame:
+    """The classifier's shuffle-free per-row features over any frame with
+    (doc_id, text) — batch or STREAMING (every expression is stateless, so
+    the same column set scores a document stream unchanged)."""
     with_t = docs.select("doc_id", tokens("text").alias("t"))
     t = F.col("t")
     n = F.size(t)
-    feat = with_t.select(
+    return with_t.select(
         "doc_id",
         n.cast("bigint").alias("n_tok"),
         F.lit(1.0).alias("one"),
@@ -425,20 +442,33 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS))).cast("double") / n
         ).alias("stop_frac"),
     )
+
+
+def _qc_labeled_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feat = qc_feature_frame(read_table(spark, sf_dir, "documents"))
     lab = text_quality_gopher(spark, sf_dir).select("doc_id", "passes_quality")
-    j = feat.join(lab, "doc_id").withColumn(
+    return feat.join(lab, "doc_id").withColumn(
         "y", F.col("passes_quality").cast("double")
     )
-    holdout = F.col("doc_id") % _QC_HOLDOUT_MOD == _QC_HOLDOUT_MOD - 1
-    beta = fit_logistic_irls(j.filter(~holdout), _QC_FEATURES, "y", _QC_ITERS)
+
+
+def fit_quality_model(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Train-offline half of the deployment split: fit the logistic model
+    on the non-holdout docs and return the rounded coefficients (a handful
+    of floats — the entire model artifact)."""
+    j = _qc_labeled_frame(spark, sf_dir)
+    train = F.col("doc_id") % _QC_HOLDOUT_MOD != _QC_HOLDOUT_MOD - 1
+    return fit_logistic_irls(j.filter(train), _QC_FEATURES, "y", _QC_ITERS)
+
+
+def score_quality(df: DataFrame, beta: list[float]) -> DataFrame:
+    """Score-online half: literal-coefficient sigmoid over the feature
+    columns. Stateless projection — applies unchanged to a streaming
+    frame (see tests/test_streaming.py), which is the 100 TB serving
+    shape: the rule cascade and IRLS run offline, ingest scores each doc
+    with four arithmetic expressions."""
     xb = dot_expr(_QC_FEATURES, beta)
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-xb)), _QC_SCORE_ROUND)
-    return j.filter(holdout).select(
-        "doc_id",
-        "n_tok",
-        "ttr",
-        "stop_frac",
-        score.alias("quality_score"),
-        (score >= 0.5).alias("pred_keep"),
-        "passes_quality",
+    return df.withColumn("quality_score", score).withColumn(
+        "pred_keep", F.col("quality_score") >= 0.5
     )

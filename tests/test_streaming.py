@@ -692,3 +692,37 @@ def test_streaming_similarity_replay_idempotent(spark, tmpdir):
         (r["id1"], r["id2"]) for r in spark.read.parquet(tmpdir + "/pairs").collect()
     ) == first_pairs
     assert spark.read.parquet(tmpdir + "/idx").count() == first_index
+
+
+def test_trained_quality_model_scores_stream_identically(spark, tmpdir, sf_smoke):
+    """X6h deployment split: the quality model trains OFFLINE (batch IRLS)
+    and scores ONLINE — score_quality is a stateless projection, so the
+    same literal-coefficient expressions run unchanged on a document
+    stream and must reproduce the batch scores row for row."""
+    from streaming_data_pipeline_capstone_spark.queries.quality import (
+        fit_quality_model,
+        qc_feature_frame,
+        score_quality,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    beta = fit_quality_model(spark, sf_smoke)
+    docs = read_table(spark, sf_smoke, "documents")
+    expect = {
+        r["doc_id"]: (r["quality_score"], r["pred_keep"])
+        for r in score_quality(qc_feature_frame(docs), beta).collect()
+    }
+    assert expect
+
+    src = tmpdir + "/docs_stream"
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    scored = score_quality(qc_feature_frame(stream), beta)
+    assert scored.isStreaming
+    out = to_memory(scored, "qc_stream_scored", available_now=True)
+    out.awaitTermination()
+    got = {
+        r["doc_id"]: (r["quality_score"], r["pred_keep"])
+        for r in spark.table("qc_stream_scored").collect()
+    }
+    assert got == expect
