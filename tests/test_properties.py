@@ -380,3 +380,35 @@ def test_connected_components_string_ids(spark):
     df = spark.createDataFrame(chain, "doc1 string, doc2 string")
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == {n: "doc-000" for n in nodes}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=4),
+    st.data(),
+)
+def test_cramer_solve_matches_numpy_property(d, data):
+    """cramer_solve (the SQL-mirroring Laplace expansion) must agree with
+    numpy's LU solve to within the 8-dp coefficient rounding on random
+    diagonally-dominant systems — pure driver-side math, no Spark job."""
+    import numpy as np
+
+    from streaming_data_pipeline_capstone_spark.plans.train import cramer_solve
+
+    entry = st.floats(min_value=-10.0, max_value=10.0, allow_nan=False)
+    a = np.array(
+        [[data.draw(entry) for _ in range(d)] for _ in range(d)], dtype=float
+    )
+    a = (a + a.T) / 2.0  # the stats matrix is symmetric by construction
+    # diagonal dominance keeps the system well-conditioned, like a real
+    # X'WX with non-degenerate features
+    for i in range(d):
+        a[i, i] = sum(abs(a[i, j]) for j in range(d) if j != i) + data.draw(
+            st.floats(min_value=1.0, max_value=10.0, allow_nan=False)
+        )
+    t = np.array([data.draw(entry) for _ in range(d)], dtype=float)
+    row = {f"s_{i}_{j}": a[i, j] for i in range(d) for j in range(i, d)}
+    row.update({f"t_{i}": t[i] for i in range(d)})
+    got = cramer_solve(row, d)
+    want = np.linalg.solve(a, t)
+    assert got == pytest.approx(want, abs=6e-9)
