@@ -182,6 +182,11 @@ def text_idf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is exact integer comparison, never float.
 _MIX_SPACE = 1 << 20
 _MIX_MULT = 2654435761  # Knuth multiplicative hash constant
+# Every hash site reduces doc_id mod 2^20 BEFORE multiplying: the value is
+# identical ((x*M) mod S == ((x mod S)*M) mod S for x >= 0 since S = 2^20),
+# but the product stays <= (S-1)*M ~ 2.8e15 — a bare doc_id*M overflows
+# int64 once doc_ids pass ~3.5e9 (found by the sf100 decade under ANSI
+# mode; DuckDB BIGINT would error identically).
 _KEEP_ALL = _MIX_SPACE
 _KEEP_PART = int(0.3 * _MIX_SPACE)
 
@@ -191,10 +196,10 @@ _KEEP_PART = int(0.3 * _MIX_SPACE)
     f"""
     SELECT lang,
            count(*) AS n_docs,
-           CAST(coalesce(SUM(CASE WHEN (doc_id * {_MIX_MULT}) % {_MIX_SPACE} <
+           CAST(coalesce(SUM(CASE WHEN ((doc_id % {_MIX_SPACE}) * {_MIX_MULT}) % {_MIX_SPACE} <
                   CASE WHEN lang = 'en' THEN {_KEEP_ALL} ELSE {_KEEP_PART} END
                   THEN 1 END), 0) AS BIGINT) AS n_kept,
-           round(CAST(SUM(CASE WHEN (doc_id * {_MIX_MULT}) % {_MIX_SPACE} <
+           round(CAST(SUM(CASE WHEN ((doc_id % {_MIX_SPACE}) * {_MIX_MULT}) % {_MIX_SPACE} <
                   CASE WHEN lang = 'en' THEN {_KEEP_ALL} ELSE {_KEEP_PART} END
                   THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS kept_frac
     FROM documents
@@ -204,7 +209,7 @@ _KEEP_PART = int(0.3 * _MIX_SPACE)
 def mixture_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     thr = F.when(F.col("lang") == "en", F.lit(_KEEP_ALL)).otherwise(F.lit(_KEEP_PART))
-    kept = (F.col("doc_id") * _MIX_MULT) % _MIX_SPACE < thr
+    kept = ((F.col("doc_id") % _MIX_SPACE) * _MIX_MULT) % _MIX_SPACE < thr
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.coalesce(F.sum(F.when(kept, 1)), F.lit(0)).alias("n_kept"),
@@ -323,7 +328,7 @@ _TEMP_ALPHA = 0.3
     t AS (SELECT lang, n_docs, rate,
                  CAST(floor(rate * {_MIX_SPACE}) AS BIGINT) AS thr FROM r)
     SELECT d.lang, t.n_docs, t.rate,
-           CAST(coalesce(SUM(CASE WHEN (d.doc_id * {_MIX_MULT}) % {_MIX_SPACE} < t.thr
+           CAST(coalesce(SUM(CASE WHEN ((d.doc_id % {_MIX_SPACE}) * {_MIX_MULT}) % {_MIX_SPACE} < t.thr
                                   THEN 1 END), 0) AS BIGINT) AS n_kept
     FROM documents d JOIN t USING (lang)
     GROUP BY d.lang, t.n_docs, t.rate
@@ -344,7 +349,7 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.round(weight / F.max(weight).over(wall), 6).alias("rate"),
     ).withColumn("thr", F.floor(F.col("rate") * _MIX_SPACE).cast("bigint"))
-    kept = (F.col("doc_id") * _MIX_MULT) % _MIX_SPACE < F.col("thr")
+    kept = ((F.col("doc_id") % _MIX_SPACE) * _MIX_MULT) % _MIX_SPACE < F.col("thr")
     return (
         docs.join(F.broadcast(rates), "lang")
         .groupBy("lang", "n_docs", "rate")
@@ -522,7 +527,7 @@ _DSIR_TAKE = 100
     )
     SELECT doc_id, log_w_micro,
            log_w_micro + CAST(round(
-             -ln(-ln(((doc_id * {_MIX_MULT}) % {_MIX_SPACE} + 0.5) / {_MIX_SPACE}.0))
+             -ln(-ln((((doc_id % {_MIX_SPACE}) * {_MIX_MULT}) % {_MIX_SPACE} + 0.5) / {_MIX_SPACE}.0))
              * {_MICRO}.0) AS BIGINT) AS score_micro
     FROM w
     ORDER BY score_micro DESC, doc_id
@@ -531,7 +536,7 @@ _DSIR_TAKE = 100
 )
 def mixture_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = mixture_dsir_weights(spark, sf_dir)
-    u = ((F.col("doc_id") * _MIX_MULT) % _MIX_SPACE + 0.5) / float(_MIX_SPACE)
+    u = (((F.col("doc_id") % _MIX_SPACE) * _MIX_MULT) % _MIX_SPACE + 0.5) / float(_MIX_SPACE)
     gumbel_micro = F.round(-F.log(-F.log(u)) * _MICRO, 0).cast("bigint")
     return (
         w.select(
@@ -561,7 +566,7 @@ _N_SHARDS = 8
     "corpus_shard_shuffle",
     f"""
     WITH h AS (
-      SELECT doc_id, (doc_id * {_MIX_MULT}) % {_MIX_SPACE} AS hkey
+      SELECT doc_id, ((doc_id % {_MIX_SPACE}) * {_MIX_MULT}) % {_MIX_SPACE} AS hkey
       FROM documents
     )
     SELECT doc_id, hkey,
@@ -576,7 +581,7 @@ def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     h = docs.select(
-        "doc_id", ((F.col("doc_id") * _MIX_MULT) % _MIX_SPACE).alias("hkey")
+        "doc_id", (((F.col("doc_id") % _MIX_SPACE) * _MIX_MULT) % _MIX_SPACE).alias("hkey")
     ).withColumn("shard", (F.col("hkey") % _N_SHARDS).cast("bigint"))
     w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
     return h.select(

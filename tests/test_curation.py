@@ -104,7 +104,7 @@ def test_dsir_resample_is_gumbel_topk_of_weights(spark, sf_smoke):
     }
 
     def score(doc_id):
-        u = ((doc_id * _MIX_MULT) % _MIX_SPACE + 0.5) / _MIX_SPACE
+        u = (((doc_id % _MIX_SPACE) * _MIX_MULT) % _MIX_SPACE + 0.5) / _MIX_SPACE
         return weights[doc_id] + round(-math.log(-math.log(u)) * 1_000_000)
 
     expect = sorted(weights, key=lambda d: (-score(d), d))[:_DSIR_TAKE]
