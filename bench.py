@@ -86,6 +86,10 @@ BENCH_QUERIES = [
     # 16x4/k=64 codebook — the query whose recall ANN_RECALL_r09.json
     # certifies. NOTE: totals grew again; compare per-query across rounds.
     "sim_topk_ivfpq_rerank_pruned",
+    # round-9 additions: the two new trained/data-selection flagships.
+    # NOTE: totals grew again; compare per-query across rounds.
+    "mixture_dsir_weights",          # DSIR: broadcast hashed-ngram ratio table + doc rollup
+    "quality_classifier_trained",    # damped-IRLS train + held-out score, end to end
 ]
 
 WARM_COLD_TOL = 1.25  # warm may exceed cold by noise, not by 25%
@@ -312,7 +316,8 @@ def main() -> None:
                 "metric_note": (
                     "value=warm since r3; min over fresh-JVM legs since r7; "
                     "suite +pipeline_curation_full since r8, "
-                    "+sim_topk_ivfpq_rerank_pruned since r9 (compare "
+                    "+sim_topk_ivfpq_rerank_pruned +mixture_dsir_weights "
+                    "+quality_classifier_trained since r9 (compare "
                     "per-query across rounds, not totals)"
                 ),
                 "queries": warm,
