@@ -543,11 +543,13 @@ def _band_batch_scratch(spark: SparkSession) -> str:
     import uuid
 
     base = None
+    explicit = True
     try:
         base = spark.conf.get("spark.lsh.scratchDir")
     except Exception:
         base = None
     if not base:
+        explicit = False
         try:
             opt = spark.sparkContext._jsc.sc().getCheckpointDir()
             base = opt.get() if opt.isDefined() else None
@@ -555,6 +557,19 @@ def _band_batch_scratch(spark: SparkSession) -> str:
             base = None
     if not base:
         base = spark.conf.get("spark.sql.warehouse.dir")
+    # Fail FAST instead of losing rows silently (ADVICE r9): on a real
+    # multi-node cluster a file: fallback resolves to node-local disk, so
+    # executor task commits land on machines the final read never sees.
+    master = spark.sparkContext.master or ""
+    is_local = master.startswith("local")
+    node_local = base.startswith("file:") or "://" not in base
+    if not is_local and node_local and not explicit:
+        raise RuntimeError(
+            "band-batched LSH needs a SHARED scratch filesystem on a "
+            f"cluster (master={master!r}), but the resolved fallback "
+            f"{base!r} is node-local. Set spark.lsh.scratchDir to an "
+            "HDFS/S3/shared path."
+        )
     scratch = base.rstrip("/") + "/lsh_band_batch_" + uuid.uuid4().hex
     local = None
     if scratch.startswith("file:"):

@@ -261,11 +261,40 @@ def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # banded OR-amplification: same verify-exact pair semantics, recall raised
 # from p^planes to 1-(1-p^planes)^bands. The oracle unions per-band bucket
 # joins and dedups — training-free, fully SQL-expressible.
-def _banded_oracle(planes: int, bands: int, threshold: float) -> str:
+def _banded_oracle(planes: int, bands: int, threshold: float, plant: bool = False) -> str:
     """Unrolled banded-LSH oracle at a FIXED (planes, bands) config — the
-    config the corpus-scaling rule resolves to at the driver's gate SFs."""
+    config the corpus-scaling rule resolves to at the driver's gate SFs.
+
+    ``plant`` mirrors ``_with_planted_neardups``: a perturbed copy of every
+    ``vec_id % _NEARDUP_PLANT_MOD == 0`` vector is unioned in under a
+    disjoint id range, so the near-dup gate checks known positives instead
+    of hash-matching an empty frame."""
+    e_cte = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+    if plant:
+        e_cte = f"""SELECT vec_id, v FROM b0
+      UNION ALL
+      SELECT vec_id + {_NEARDUP_PLANT_OFF},
+             list_transform(v, x -> x * {_NEARDUP_PLANT_SCALE} + {_NEARDUP_PLANT_SHIFT})
+      FROM b0 WHERE vec_id % {_NEARDUP_PLANT_MOD} = 0"""
+        return f"""
+    WITH b0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS ({e_cte}),
+    bands AS (
+      {" UNION ALL ".join(
+          f'''SELECT vec_id, v, {b} AS band,
+              {_lsh_sig_sql(planes, b * planes)} AS s FROM e'''
+          for b in range(bands)
+      )}
+    )
+    SELECT DISTINCT id1, id2, cosine_sim FROM (
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.s = b.s AND a.vec_id < b.vec_id
+    ) WHERE cosine_sim >= {threshold}
+    """
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS ({e_cte}),
     bands AS (
       {" UNION ALL ".join(
           f'''SELECT vec_id, v, {b} AS band,
@@ -334,17 +363,48 @@ def sim_lsh_pairs_banded_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 5.6 sd: expected random-tail pairs ~0 even at 2e10 candidate pairs), where
 # output tracks the corpus's actual duplicate density — linear in n when
 # density is constant, which is what the natural-growth decade measures.
-# The driver's gate corpora contain no >=0.7 pairs (max pair cosine 0.51),
-# so the oracle certifies empty-set agreement at the gate config (4, 8);
-# the SEMANTICS are pinned by tests/test_llm_ops.py's planted-fixture
-# recall/precision gate against brute_force_pairs at the same threshold.
+# The driver's gate corpora contain no natural >=0.7 pairs (max pair cosine
+# 0.51), which made the r9 gate a hash of an EMPTY frame. r10 (VERDICT r9
+# ask #1, curation_pii_scrub precedent): the query PLANTS deterministic
+# near-dups in-flight — for every vec_id % 83 == 0 a perturbed copy
+# (v*0.9 + 0.01 elementwise, cosine ≈ 0.99 to its source at dim=64) is
+# unioned in under a disjoint id range — identically in both engines, so
+# the oracle verifies band-bucket candidate generation AND exact verify on
+# known positives (7 planted pairs at sf0.01). The planted copies stay
+# far below threshold vs every OTHER vector (bulk max 0.51 + the small
+# perturbation), so the output is exactly the planted pairs plus any
+# natural near-dups a larger corpus contains. The banded config is keyed
+# to the UNplanted corpus count (the plant is gate instrumentation, ~1.2%
+# rows — never a config input). The 0.7-threshold SEMANTICS remain pinned
+# by tests/test_llm_ops.py's planted-fixture recall/precision gate.
 _NEARDUP_T = 0.7
 _NEARDUP_GATE_PLANES, _NEARDUP_GATE_BANDS = 4, 8  # banded_lsh_config(500, 0.7)
+_NEARDUP_PLANT_MOD = 83
+_NEARDUP_PLANT_OFF = 10_000_000  # disjoint from any fixture id range (max 5M at sf100)
+_NEARDUP_PLANT_SCALE, _NEARDUP_PLANT_SHIFT = 0.9, 0.01
+
+
+def _with_planted_neardups(emb: DataFrame) -> DataFrame:
+    """Union a perturbed near-dup copy of every % _NEARDUP_PLANT_MOD
+    vector. Vectors are cast float32→float64 FIRST (exact) so the
+    perturbation arithmetic (x*0.9 + 0.01, left-assoc) is the same IEEE
+    double sequence the oracle's list_transform runs."""
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = base.filter(F.col("vec_id") % _NEARDUP_PLANT_MOD == 0).select(
+        (F.col("vec_id") + _NEARDUP_PLANT_OFF).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: x * F.lit(_NEARDUP_PLANT_SCALE) + F.lit(_NEARDUP_PLANT_SHIFT),
+        ).alias("embedding"),
+    )
+    return base.unionByName(planted)
 
 
 @register(
     "sim_lsh_pairs_banded_neardup",
-    _banded_oracle(_NEARDUP_GATE_PLANES, _NEARDUP_GATE_BANDS, _NEARDUP_T),
+    _banded_oracle(_NEARDUP_GATE_PLANES, _NEARDUP_GATE_BANDS, _NEARDUP_T, plant=True),
 )
 def sim_lsh_pairs_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_pipeline_capstone_spark.operators.similarity import (
@@ -354,7 +414,7 @@ def sim_lsh_pairs_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n = read_table(spark, sf_dir, "embeddings").count()
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _with_planted_neardups(read_table(spark, sf_dir, "embeddings"))
     planes, bands = banded_lsh_config(n, threshold=_NEARDUP_T)
     return lsh_similar_pairs(
         emb,

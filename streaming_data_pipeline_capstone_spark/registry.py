@@ -38,13 +38,18 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def _load_all() -> None:
     """Import every module that registers queries (side-effect imports).
 
-    Import order is registration order is ``queries()`` dict order, and
-    the driver's correctness gate samples a window of that order — so the
-    modules whose queries have appeared least in past CORRECTNESS_r*.json
-    artifacts (scalars, streaming_like, trained, and relational's
-    window/asof rows — all LOCALCHECK-green every round but rarely
-    driver-sampled) are imported FIRST this round to rotate them into the
-    driver's sample (VERDICT r8 ask #5)."""
+    Import order is registration order; r10 rotates the modules whose
+    queries the r9 driver window did NOT cover (curation's back half,
+    extras, flagship, llm_ops, quality) toward the front — the explicit
+    ``_SAMPLE_FIRST`` list below then pins the must-sample names ahead of
+    everything."""
+    from streaming_data_pipeline_capstone_spark.queries import (  # noqa: F401
+        curation,
+        extras,
+        flagship,
+        llm_ops,
+        quality,
+    )
     from streaming_data_pipeline_capstone_spark.queries import scalars  # noqa: F401
     from streaming_data_pipeline_capstone_spark.queries import (  # noqa: F401
         streaming_like,
@@ -53,13 +58,39 @@ def _load_all() -> None:
     from streaming_data_pipeline_capstone_spark.queries import (  # noqa: F401
         relational,
     )
-    from streaming_data_pipeline_capstone_spark.queries import (  # noqa: F401
-        curation,
-        extras,
-        flagship,
-        llm_ops,
-        quality,
-    )
+
+
+# The driver's correctness gate samples the FIRST ~50 names of queries()
+# dict order. Module import order rotated that window in past rounds, but
+# per-module granularity can't express "this round's new queries AND the
+# never-sampled stragglers first" (ADVICE r9: a pure rotation pushes the
+# newest queries out of the externally-sampled set). This explicit list
+# leads the dict: (a) the four r9 queries the driver has never sampled,
+# (b) everything NEW or semantically changed in r10 (the de-vacuated
+# gates, the strip twin, the DSIR funnel, the streaming verdicts), then
+# (c) the r9-unsampled back half of the registry in registration order.
+# Names not in the list follow in registration order; stale names here
+# are ignored, so the list can't mask a registration bug.
+_SAMPLE_FIRST = [
+    # (a) never driver-sampled (VERDICT r9 ask #5)
+    "text_dup_spans_strip",
+    "quality_classifier_trained",
+    "sim_pq_topk_rerank_fixed",
+    "sim_topk_ivfpq_rerank_pruned",
+    # (b) new or changed in r10
+    "text_dup_spans_strip_hashed",
+    "pipeline_curation_dsir",
+    "stream_curation_verdicts",
+    "sim_lsh_pairs_banded_neardup",
+    "decontam_ngram_overlap_w8",
+    "join_anti_never_ordered",
+]
+
+
+def _sample_ordered(d: dict) -> dict:
+    out = {n: d[n] for n in _SAMPLE_FIRST if n in d}
+    out.update((n, v) for n, v in d.items() if n not in out)
+    return out
 
 
 _LOADED = False
@@ -70,7 +101,7 @@ def all_queries() -> dict[str, QueryFn]:
     if not _LOADED:
         _load_all()
         _LOADED = True
-    return dict(QUERIES)
+    return _sample_ordered(QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
@@ -78,4 +109,4 @@ def all_oracles() -> dict[str, str]:
     if not _LOADED:
         _load_all()
         _LOADED = True
-    return dict(ORACLES)
+    return _sample_ordered(ORACLES)

@@ -97,7 +97,8 @@ def test_dsir_resample_is_gumbel_topk_of_weights(spark, sf_smoke):
 
     took = mixture_dsir_resample(spark, sf_smoke).collect()
     assert len(took) == _DSIR_TAKE
-    assert dict.fromkeys(r["doc_id"] for r in took)  # no dup docs
+    ids = [r["doc_id"] for r in took]
+    assert len(set(ids)) == len(ids)  # no dup docs
     weights = {
         r["doc_id"]: r["log_w_micro"]
         for r in mixture_dsir_weights(spark, sf_smoke).collect()

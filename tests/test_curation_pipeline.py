@@ -195,6 +195,89 @@ def test_dup_spans_strip_removes_every_duplicated_window(spark, sf_oracle):
     assert n_stripped_docs > 0
 
 
+def test_dup_spans_strip_hashed_row_identical(spark, sf_oracle):
+    """The xxhash64-keyed strip (r10) is a physical change only: at the
+    gate corpus (no 64-bit collisions) it must return exactly the
+    text-keyed strip, including the stripped text itself."""
+    qs = all_queries()
+    text_rows = sorted(
+        tuple(r) for r in qs["text_dup_spans_strip"](spark, sf_oracle).collect()
+    )
+    hashed_rows = sorted(
+        tuple(r)
+        for r in qs["text_dup_spans_strip_hashed"](spark, sf_oracle).collect()
+    )
+    assert text_rows == hashed_rows
+    assert any(r[1] > r[2] for r in text_rows), "fixture should strip something"
+
+
+def test_dsir_funnel_selection_matches_standalone_stages(spark, sf_oracle):
+    """pipeline_curation_dsir adds no semantics of its own: the selected
+    set must be exactly the Gumbel-top-k of the standalone DSIR weights
+    restricted to the standalone survivor set, and the packed bins must
+    partition exactly those docs."""
+    from streaming_data_pipeline_capstone_spark.queries.curation import (
+        _DSIR_TAKE,
+        _MICRO,
+        _MIX_MULT,
+        _MIX_SPACE,
+        _dsir_selected_survivors,
+        _survivors,
+    )
+
+    import math
+
+    qs = all_queries()
+    surv = {r["doc_id"] for r in _survivors(spark, sf_oracle).select("doc_id").collect()}
+    weights = {
+        r["doc_id"]: r["log_w_micro"]
+        for r in qs["mixture_dsir_weights"](spark, sf_oracle).collect()
+    }
+
+    def score(doc_id):
+        u = (((doc_id % _MIX_SPACE) * _MIX_MULT) % _MIX_SPACE + 0.5) / _MIX_SPACE
+        return weights[doc_id] + round(-math.log(-math.log(u)) * _MICRO)
+
+    cand = [d for d in surv if d in weights]
+    expect = set(sorted(cand, key=lambda d: (-score(d), d))[:_DSIR_TAKE])
+    sel = {r["doc_id"] for r in _dsir_selected_survivors(spark, sf_oracle).collect()}
+    assert sel == expect
+    assert len(sel) == _DSIR_TAKE
+    assert sel < surv, "selection must be a proper subset of survivors"
+
+    bins = qs["pipeline_curation_dsir"](spark, sf_oracle).collect()
+    assert sum(r["n_docs"] for r in bins) == len(sel)
+
+
+def test_decontam_w8_plant_flags_exactly_the_carriers(spark, sf_oracle):
+    """The planted w=8 contamination (r10) must flag exactly the non-eval
+    carrier docs (doc_id % _PLANT_MOD == 0) — plus any doc genuinely
+    sharing a verbatim 8-gram with the eval slice, of which the gate
+    corpus has none (that vacancy is why the plant exists)."""
+    from streaming_data_pipeline_capstone_spark.queries.curation import (
+        _EVAL_MOD,
+        _PLANT_MOD,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    qs = all_queries()
+    flagged = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in qs["decontam_ngram_overlap_w8"](spark, sf_oracle).collect()
+    }
+    all_ids = {
+        r["doc_id"]
+        for r in read_table(spark, sf_oracle, "documents").select("doc_id").collect()
+    }
+    carriers = {
+        d for d in all_ids if d % _PLANT_MOD == 0 and d % _EVAL_MOD != 0
+    }
+    assert carriers, "fixture must contain planted carriers"
+    assert carriers <= set(flagged)
+    for d in carriers:
+        assert flagged[d] >= 1
+
+
 def test_funnel_stage_membership_matches_stage_queries(spark, sf_oracle):
     """A document survives the funnel iff it passes every individual
     stage query — the composition adds no semantics of its own."""

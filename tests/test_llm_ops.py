@@ -457,6 +457,36 @@ def test_lsh_banded_pairs_recall_vs_bruteforce(spark, sf_oracle):
     assert not (got - truth), f"false positives escaped exact verification: {got - truth}"
 
 
+def test_neardup_gate_plants_are_found_and_are_near(spark, sf_oracle):
+    """The de-vacuated near-dup gate (r10): every planted (source,
+    source+OFF) pair must come out of the registered query with cosine in
+    the NEAR-dup band (≥ threshold but < 1 — the perturbation is real,
+    not an exact copy), and no planted id may pair with anything but its
+    own source (the plant can't pollute the natural-pair semantics)."""
+    from streaming_data_pipeline_capstone_spark.queries.llm_ops import (
+        _NEARDUP_PLANT_MOD,
+        _NEARDUP_PLANT_OFF,
+        _NEARDUP_T,
+        sim_lsh_pairs_banded_neardup,
+    )
+
+    rows = sim_lsh_pairs_banded_neardup(spark, sf_oracle).collect()
+    assert rows, "gate corpus must produce planted pairs"
+    n_src = read_table(spark, sf_oracle, "embeddings").count()
+    expect = {
+        (v, v + _NEARDUP_PLANT_OFF)
+        for v in range(0, n_src, _NEARDUP_PLANT_MOD)
+    }
+    got = {(r.id1, r.id2) for r in rows}
+    assert expect <= got
+    for r in rows:
+        assert r.cosine_sim >= _NEARDUP_T
+        if r.id2 >= _NEARDUP_PLANT_OFF:
+            # a planted copy may only pair with its own source
+            assert (r.id1, r.id2) in expect
+            assert r.cosine_sim < 1.0, "plant must be a NEAR dup, not exact"
+
+
 def test_materialized_planes_bit_equal_inline(spark):
     """The launch-cost fix (materialize_planes → literal planes) must not
     move a single plane coefficient: the HOF-evaluated constants have to

@@ -128,6 +128,10 @@ SHUFFLE_BUDGET = {
     "text_dup_spans": 2,  # window-text count + doc_id rollup; dup-gram set joins broadcast at this SF
     "text_dup_spans_hashed": 2,  # same plan keyed on xxhash64(window): 8-byte exchange
     "text_dup_spans_strip": 2,  # window count + dup-START rollup; start-lists join broadcast
+    "text_dup_spans_strip_hashed": 2,  # same plan keyed on xxhash64(window): 8-byte exchange
+    # funnel survivor chain + DSIR weights (3) + zero-shuffle top-k
+    # selection + pack over the persisted k-row selected frame
+    "pipeline_curation_dsir": 7,
 
     "dedup_semantic_cells": 1,  # one exchange on (cell, ba, bb) task key; tasks exploded per row, no driver task table
     "emb_pq_encode_fixed": 0,  # shipped codebook: pure per-row exprs
