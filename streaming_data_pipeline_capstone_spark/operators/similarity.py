@@ -562,7 +562,21 @@ def _band_batch_scratch(spark: SparkSession) -> str:
     # executor task commits land on machines the final read never sees.
     master = spark.sparkContext.master or ""
     is_local = master.startswith("local")
-    node_local = base.startswith("file:") or "://" not in base
+    node_local = base.startswith("file:")
+    if not node_local and "://" not in base:
+        # A scheme-less path resolves against fs.defaultFS (ADVICE r10):
+        # on a cluster whose default filesystem is HDFS/S3 it IS shared,
+        # so only classify it node-local when the default FS is file:.
+        try:
+            default_fs = (
+                spark.sparkContext._jsc.hadoopConfiguration().get(
+                    "fs.defaultFS", "file:///"
+                )
+                or "file:///"
+            )
+        except Exception:
+            default_fs = "file:///"
+        node_local = default_fs.startswith("file:")
     if not is_local and node_local and not explicit:
         raise RuntimeError(
             "band-batched LSH needs a SHARED scratch filesystem on a "

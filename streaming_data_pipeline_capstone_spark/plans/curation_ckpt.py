@@ -47,7 +47,7 @@ STAGES = ("dedup_keep", "quality_keep", "contaminated", "survivors")
 
 
 def checkpoint_stage_verdicts(
-    spark: SparkSession, sf_dir: str, out_dir: str
+    spark: SparkSession, sf_dir: str, out_dir: str, plant: bool = False
 ) -> dict[str, str]:
     """Run each curation stage ONCE and persist its verdict frame to
     ``out_dir/<stage>.parquet``. Returns stage → path.
@@ -55,10 +55,13 @@ def checkpoint_stage_verdicts(
     The verdict frames are narrow (doc_id, or doc_id+lang+n_tok for
     survivors): at 100 TB the checkpoint bytes are a tiny fraction of the
     corpus, and every later job — including re-runs after a failure —
-    starts from them instead of from raw text."""
+    starts from them instead of from raw text. ``plant`` defaults OFF
+    (natural-corpus decontam input, r11); pass plant=True only to compare
+    against the registered planted gate query."""
     from streaming_data_pipeline_capstone_spark.queries.curation import (
+        _DECON_N_W8,
         _EVAL_MOD,
-        decontam_ngram_overlap_w8,
+        _decontam,
         quality_filter_composite,
     )
     from streaming_data_pipeline_capstone_spark.queries.quality import (
@@ -73,7 +76,7 @@ def checkpoint_stage_verdicts(
     quality_filter_composite(spark, sf_dir).filter("keep").select(
         "doc_id"
     ).write.mode("overwrite").parquet(paths["quality_keep"])
-    decontam_ngram_overlap_w8(spark, sf_dir).select("doc_id").write.mode(
+    _decontam(spark, sf_dir, _DECON_N_W8, plant=plant).select("doc_id").write.mode(
         "overwrite"
     ).parquet(paths["contaminated"])
 
@@ -115,11 +118,13 @@ def packed_bins_from_checkpoint(
 
 
 def run_checkpointed_funnel(
-    spark: SparkSession, sf_dir: str, out_dir: str
+    spark: SparkSession, sf_dir: str, out_dir: str, plant: bool = False
 ) -> DataFrame:
     """Checkpoint every stage verdict, then return the packed bins read
     from the checkpoints — the production execution shape of
-    ``pipeline_curation_full``. EAGER: the stage jobs run at call time;
-    the returned frame scans the final checkpoint."""
-    paths = checkpoint_stage_verdicts(spark, sf_dir, out_dir)
+    ``curation_funnel_bins``. EAGER: the stage jobs run at call time;
+    the returned frame scans the final checkpoint. With plant=True the
+    bins are row-identical to the registered ``pipeline_curation_full``
+    gate query (pinned by tests/test_curation_pipeline.py)."""
+    paths = checkpoint_stage_verdicts(spark, sf_dir, out_dir, plant=plant)
     return packed_bins_from_checkpoint(spark, sf_dir, paths)

@@ -913,13 +913,21 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (quality + dedup + decontam, then pack).
 
 
-def _curation_ctes() -> str:
+def _curation_ctes(plant: bool = False) -> str:
     """Shared CTE prefix: the dedup keep-set (dd), the quality-pass set
     (qok), the contaminated set (contaminated), and the survivor frame
     (surv) with per-doc token counts — verbatim recompositions of the
     dedup_keep_list / quality_filter_composite / decontam_ngram_overlap_w8
-    oracles with disambiguated CTE names."""
+    oracles with disambiguated CTE names.
+
+    ``plant`` (default OFF — r11, VERDICT r10 finding #3) appends the w8
+    sentinel span to the decontam stage's input, exactly as the registered
+    ``decontam_ngram_overlap_w8`` gate does; the REGISTERED funnel queries
+    pass plant=True so their oracles keep verifying known positives, while
+    the production composition (plant=False) measures the natural corpus
+    and never drops doc_id % _PLANT_MOD carriers by instrumentation."""
     lang_allow = ", ".join("'" + l + "'" for l in _LANG_ALLOW)
+    dt_text = f"text || {_PLANT_SQL}" if plant else "text"
     return rf"""
     WITH RECURSIVE sets AS (
       SELECT doc_id AS doc,
@@ -977,10 +985,10 @@ def _curation_ctes() -> str:
         AND digit_frac <= {_MAX_DIGIT_FRAC}
     ),
     dt AS (
-      -- decontam stage reads the PLANTED text (the w8 gate's known
-      -- positives, see _PLANT_SQL) — verbatim recomposition of the
-      -- decontam_ngram_overlap_w8 oracle
-      SELECT doc_id, string_split_regex(lower(trim(text || {_PLANT_SQL})), '\s+') AS t
+      -- decontam stage input: PLANTED text (the w8 gate's known
+      -- positives, see _PLANT_SQL) when plant=True, natural text
+      -- otherwise — verbatim recomposition of the _decontam oracle
+      SELECT doc_id, string_split_regex(lower(trim({dt_text})), '\s+') AS t
       FROM documents
     ),
     dg AS (
@@ -1008,7 +1016,10 @@ def _curation_ctes() -> str:
     """
 
 
-def _survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _survivors(spark: SparkSession, sf_dir: str, plant: bool = False) -> DataFrame:
+    """The funnel's survivor frame. ``plant`` (default OFF) switches the
+    decontam stage to the planted-gate input — production callers get the
+    natural corpus; registered gate queries pass plant=True."""
     from streaming_data_pipeline_capstone_spark.queries.quality import (
         dedup_keep_list,
     )
@@ -1016,7 +1027,7 @@ def _survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     dd = dedup_keep_list(spark, sf_dir).filter("keep").select("doc_id")
     qok = quality_filter_composite(spark, sf_dir).filter("keep").select("doc_id")
-    cont = decontam_ngram_overlap_w8(spark, sf_dir).select("doc_id")
+    cont = _decontam(spark, sf_dir, _DECON_N_W8, plant=plant).select("doc_id")
     return (
         docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
         .join(dd, "doc_id")
@@ -1025,28 +1036,14 @@ def _survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pipeline_curation_full",
-    _curation_ctes()
-    + rf"""
-    , w AS (
-      SELECT doc_id, lang, n_tok,
-             CAST(floor(coalesce(SUM(n_tok) OVER (
-                 PARTITION BY lang ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               / {_PACK_BUDGET}) AS BIGINT) AS bin_id
-      FROM surv
-    )
-    SELECT lang, bin_id,
-           count(*) AS n_docs,
-           CAST(SUM(n_tok) AS BIGINT) AS tok_total,
-           min(doc_id) AS first_doc,
-           max(doc_id) AS last_doc
-    FROM w GROUP BY lang, bin_id
-    """,
-)
-def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    surv = _survivors(spark, sf_dir).select(
+def curation_funnel_bins(
+    spark: SparkSession, sf_dir: str, plant: bool = False
+) -> DataFrame:
+    """The production funnel: packed token-budget bins over the survivor
+    set. ``plant`` defaults OFF (natural-corpus semantics); the registered
+    gate query ``pipeline_curation_full`` passes plant=True so its DuckDB
+    oracle keeps verifying the decontam stage on known positives."""
+    surv = _survivors(spark, sf_dir, plant=plant).select(
         "doc_id", "lang", F.size(tokens("text")).alias("n_tok")
     )
     # A distributed prefix sum is inherently TWO passes over its input
@@ -1077,8 +1074,32 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_curation_full",
+    _curation_ctes(plant=True)
+    + rf"""
+    , w AS (
+      SELECT doc_id, lang, n_tok,
+             CAST(floor(coalesce(SUM(n_tok) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+      FROM surv
+    )
+    SELECT lang, bin_id,
+           count(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM w GROUP BY lang, bin_id
+    """,
+)
+def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_funnel_bins(spark, sf_dir, plant=True)
+
+
+@register(
     "curation_report",
-    _curation_ctes()
+    _curation_ctes(plant=True)
     + f"""
     SELECT 'total' AS stage, count(*) AS n_docs FROM documents
     UNION ALL
@@ -1092,9 +1113,16 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_report_frame(spark, sf_dir, plant=True)
+
+
+def curation_report_frame(
+    spark: SparkSession, sf_dir: str, plant: bool = False
+) -> DataFrame:
     """Funnel report: documents surviving each curation stage (cumulative —
     after_quality counts docs passing dedup AND quality; after_decontam is
     the final survivor set, which also excludes the eval slice).
+    ``plant`` defaults OFF; the registered gate query passes plant=True.
 
     Shape: ONE pass, not five. Each stage's verdict frame is computed once
     (dedup keep-list and quality cover every doc; contamination joins as a
@@ -1115,7 +1143,7 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     qok = quality_filter_composite(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("keep_q")
     )
-    cont = decontam_ngram_overlap_w8(spark, sf_dir).select(
+    cont = _decontam(spark, sf_dir, _DECON_N_W8, plant=plant).select(
         "doc_id", F.lit(True).alias("contam")
     )
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
@@ -1175,11 +1203,14 @@ def _dsir_gumbel_micro() -> F.Column:
     return F.round(-F.log(-F.log(u)) * _MICRO, 0).cast("bigint")
 
 
-def _dsir_selected_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dsir_selected_survivors(
+    spark: SparkSession, sf_dir: str, plant: bool = False
+) -> DataFrame:
     """The DSIR selection stage over the funnel survivor set: top
     ``_DSIR_TAKE`` docs by (integer log-weight + integer Gumbel noise),
-    ties on doc_id. Returns (doc_id, lang, n_tok)."""
-    surv = _survivors(spark, sf_dir).select(
+    ties on doc_id. Returns (doc_id, lang, n_tok). ``plant`` defaults OFF
+    (production semantics); the registered gate passes plant=True."""
+    surv = _survivors(spark, sf_dir, plant=plant).select(
         "doc_id", "lang", F.size(tokens("text")).alias("n_tok")
     )
     w = mixture_dsir_weights(spark, sf_dir).select("doc_id", "log_w_micro")
@@ -1192,9 +1223,28 @@ def _dsir_selected_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_curation_bins(
+    spark: SparkSession, sf_dir: str, plant: bool = False
+) -> DataFrame:
+    """The production DSIR-selected funnel (plant defaults OFF); the
+    registered gate query ``pipeline_curation_dsir`` passes plant=True."""
+    sel = _dsir_selected_survivors(spark, sf_dir, plant=plant)
+    # the selected set is k rows; persist so the pack's two prefix-sum
+    # passes read it instead of re-running the funnel + weights chain
+    sel = sel.persist()
+    sel.count()
+    binned = _pack_bins(sel, _doc_bucket_width(spark, sf_dir))
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("tok_total"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 @register(
     "pipeline_curation_dsir",
-    _curation_ctes()
+    _curation_ctes(plant=True)
     + rf"""
     , dst AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -1255,18 +1305,7 @@ def _dsir_selected_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pipeline_curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sel = _dsir_selected_survivors(spark, sf_dir)
-    # the selected set is k rows; persist so the pack's two prefix-sum
-    # passes read it instead of re-running the funnel + weights chain
-    sel = sel.persist()
-    sel.count()
-    binned = _pack_bins(sel, _doc_bucket_width(spark, sf_dir))
-    return binned.groupBy("lang", "bin_id").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tok").alias("tok_total"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
-    )
+    return dsir_curation_bins(spark, sf_dir, plant=True)
 
 
 # -- exact substring-duplication profile --------------------------------------

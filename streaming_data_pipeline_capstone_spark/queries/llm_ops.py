@@ -388,9 +388,25 @@ def _with_planted_neardups(emb: DataFrame) -> DataFrame:
     """Union a perturbed near-dup copy of every % _NEARDUP_PLANT_MOD
     vector. Vectors are cast float32→float64 FIRST (exact) so the
     perturbation arithmetic (x*0.9 + 0.01, left-assoc) is the same IEEE
-    double sequence the oracle's list_transform runs."""
+    double sequence the oracle's list_transform runs.
+
+    Loud guard (ADVICE r10): a real vec_id at or above the plant offset
+    would collide with a planted id and silently corrupt pair identity,
+    so any such row raises instead of flowing through."""
+    vid_guarded = F.when(
+        F.col("vec_id") < _NEARDUP_PLANT_OFF, F.col("vec_id")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "vec_id >= _NEARDUP_PLANT_OFF "
+                f"({_NEARDUP_PLANT_OFF}): planted near-dup ids would "
+                "collide with real ids — raise the offset"
+            )
+        ).cast("bigint")
+    )
     base = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        vid_guarded.alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
     )
     planted = base.filter(F.col("vec_id") % _NEARDUP_PLANT_MOD == 0).select(
         (F.col("vec_id") + _NEARDUP_PLANT_OFF).alias("vec_id"),

@@ -143,7 +143,9 @@ def test_checkpointed_funnel_row_identical(spark, sf_oracle, tmp_path):
     )
     ckpt = sorted(
         tuple(r)
-        for r in run_checkpointed_funnel(spark, sf_oracle, str(tmp_path)).collect()
+        for r in run_checkpointed_funnel(
+            spark, sf_oracle, str(tmp_path), plant=True
+        ).collect()
     )
     assert single == ckpt
     assert len(single) > 0
@@ -228,7 +230,10 @@ def test_dsir_funnel_selection_matches_standalone_stages(spark, sf_oracle):
     import math
 
     qs = all_queries()
-    surv = {r["doc_id"] for r in _survivors(spark, sf_oracle).select("doc_id").collect()}
+    surv = {
+        r["doc_id"]
+        for r in _survivors(spark, sf_oracle, plant=True).select("doc_id").collect()
+    }
     weights = {
         r["doc_id"]: r["log_w_micro"]
         for r in qs["mixture_dsir_weights"](spark, sf_oracle).collect()
@@ -240,7 +245,10 @@ def test_dsir_funnel_selection_matches_standalone_stages(spark, sf_oracle):
 
     cand = [d for d in surv if d in weights]
     expect = set(sorted(cand, key=lambda d: (-score(d), d))[:_DSIR_TAKE])
-    sel = {r["doc_id"] for r in _dsir_selected_survivors(spark, sf_oracle).collect()}
+    sel = {
+        r["doc_id"]
+        for r in _dsir_selected_survivors(spark, sf_oracle, plant=True).collect()
+    }
     assert sel == expect
     assert len(sel) == _DSIR_TAKE
     assert sel < surv, "selection must be a proper subset of survivors"
@@ -278,6 +286,38 @@ def test_decontam_w8_plant_flags_exactly_the_carriers(spark, sf_oracle):
         assert flagged[d] >= 1
 
 
+def test_unplanted_funnel_keeps_the_plant_carriers(spark, sf_oracle):
+    """r11 (VERDICT r10 finding #3): the PRODUCTION funnel (plant=False,
+    the default) must not drop docs because of gate instrumentation. On
+    the gate corpus — which has no natural w8 contamination — the
+    unplanted survivor set is exactly the planted one plus the carriers
+    (doc_id % _PLANT_MOD == 0) that pass every other stage, and the
+    unplanted bins partition that larger set."""
+    from streaming_data_pipeline_capstone_spark.queries.curation import (
+        _EVAL_MOD,
+        _PLANT_MOD,
+        _survivors,
+        curation_funnel_bins,
+    )
+
+    planted = {
+        r["doc_id"]
+        for r in _survivors(spark, sf_oracle, plant=True).select("doc_id").collect()
+    }
+    natural = {
+        r["doc_id"]
+        for r in _survivors(spark, sf_oracle).select("doc_id").collect()
+    }
+    assert planted < natural, "plant must be the only difference, and real"
+    extra = natural - planted
+    assert extra and all(
+        d % _PLANT_MOD == 0 and d % _EVAL_MOD != 0 for d in extra
+    ), f"unexpected non-carrier docs only in the unplanted funnel: {extra}"
+
+    bins = curation_funnel_bins(spark, sf_oracle).collect()
+    assert sum(r["n_docs"] for r in bins) == len(natural)
+
+
 def test_funnel_stage_membership_matches_stage_queries(spark, sf_oracle):
     """A document survives the funnel iff it passes every individual
     stage query — the composition adds no semantics of its own."""
@@ -289,7 +329,10 @@ def test_funnel_stage_membership_matches_stage_queries(spark, sf_oracle):
     )
 
     qs = all_queries()
-    surv = {r["doc_id"] for r in _survivors(spark, sf_oracle).select("doc_id").collect()}
+    surv = {
+        r["doc_id"]
+        for r in _survivors(spark, sf_oracle, plant=True).select("doc_id").collect()
+    }
     dd = {
         r["doc_id"]
         for r in qs["dedup_keep_list"](spark, sf_oracle).filter("keep").collect()

@@ -69,7 +69,8 @@ def main() -> None:
     # checkpointed shape, stage by stage
     shutil.rmtree(args.scratch, ignore_errors=True)
     t0 = time.time()
-    paths = checkpoint_stage_verdicts(spark, args.sf_dir, args.scratch)
+    # plant=True: this tool compares against the registered planted gate
+    paths = checkpoint_stage_verdicts(spark, args.sf_dir, args.scratch, plant=True)
     ckpt_stage_wall = time.time() - t0
     t0 = time.time()
     ckpt_rows = sorted(
