@@ -357,11 +357,12 @@ _QC_LABEL_RULE = f"""(n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
 _QC_IRLS_SQL, _QC_COEF_CTE = irls_iterations_sql("tr", _QC_FEATURES, "y", _QC_ITERS)
 _QC_XB_SQL = " + ".join(f"c{k} * ({f})" for k, f in enumerate(_QC_FEATURES))
 
-
-@register(
-    "quality_classifier_trained",
-    f"""
-    WITH d AS (
+# The full training pipeline as a reusable CTE prefix (features, weak
+# label, split, unrolled IRLS iterations, final coefficients in
+# _QC_COEF_CTE) — shared verbatim by quality_classifier_trained below and
+# the streaming-verdicts oracle (queries/stream_curation.py, r11), so the
+# two gates certify the SAME trained model.
+_QC_TRAIN_CTES = f"""d AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
       FROM documents
     ),
@@ -401,7 +402,13 @@ _QC_XB_SQL = " + ".join(f"c{k} * ({f})" for k, f in enumerate(_QC_FEATURES))
       FROM feat JOIN lab USING (doc_id)
     ),
     tr AS (SELECT * FROM j WHERE doc_id % {_QC_HOLDOUT_MOD} <> {_QC_HOLDOUT_MOD - 1}),
-    {_QC_IRLS_SQL}
+    {_QC_IRLS_SQL}"""
+
+
+@register(
+    "quality_classifier_trained",
+    f"""
+    WITH {_QC_TRAIN_CTES}
     SELECT doc_id, n_tok, ttr, stop_frac,
            round(1.0 / (1.0 + exp(-({_QC_XB_SQL}))), {_QC_SCORE_ROUND}) AS quality_score,
            round(1.0 / (1.0 + exp(-({_QC_XB_SQL}))), {_QC_SCORE_ROUND}) >= 0.5 AS pred_keep,

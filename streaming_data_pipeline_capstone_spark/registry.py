@@ -50,6 +50,9 @@ def _load_all() -> None:
         llm_ops,
         quality,
     )
+    from streaming_data_pipeline_capstone_spark.queries import (  # noqa: F401
+        stream_curation,
+    )
     from streaming_data_pipeline_capstone_spark.queries import scalars  # noqa: F401
     from streaming_data_pipeline_capstone_spark.queries import (  # noqa: F401
         streaming_like,
@@ -65,25 +68,27 @@ def _load_all() -> None:
 # per-module granularity can't express "this round's new queries AND the
 # never-sampled stragglers first" (ADVICE r9: a pure rotation pushes the
 # newest queries out of the externally-sampled set). This explicit list
-# leads the dict: (a) the four r9 queries the driver has never sampled,
-# (b) everything NEW or semantically changed in r10 (the de-vacuated
-# gates, the strip twin, the DSIR funnel, the streaming verdicts), then
-# (c) the r9-unsampled back half of the registry in registration order.
-# Names not in the list follow in registration order; stale names here
-# are ignored, so the list can't mask a registration bug.
+# leads the dict: everything NEW or semantically changed in r10/r11 first
+# (the streaming verdict job, the de-vacuated gates, the strip twin, the
+# DSIR funnel), then the queries driver windows covered least recently.
+# Names not in the list follow in registration order. Stale names FAIL
+# the suite (tests/test_registry.py) instead of being silently ignored —
+# the r10 stream_curation_verdicts delivery gap hid behind exactly that
+# tolerance.
 _SAMPLE_FIRST = [
-    # (a) never driver-sampled (VERDICT r9 ask #5)
+    # new in r11
+    "stream_curation_verdicts",
+    # new or semantically changed in r10
+    "text_dup_spans_strip_hashed",
+    "pipeline_curation_dsir",
+    "sim_lsh_pairs_banded_neardup",
+    "decontam_ngram_overlap_w8",
+    "join_anti_never_ordered",
+    # least-recently driver-sampled stragglers
     "text_dup_spans_strip",
     "quality_classifier_trained",
     "sim_pq_topk_rerank_fixed",
     "sim_topk_ivfpq_rerank_pruned",
-    # (b) new or changed in r10
-    "text_dup_spans_strip_hashed",
-    "pipeline_curation_dsir",
-    "stream_curation_verdicts",
-    "sim_lsh_pairs_banded_neardup",
-    "decontam_ngram_overlap_w8",
-    "join_anti_never_ordered",
 ]
 
 

@@ -149,6 +149,10 @@ SHUFFLE_BUDGET = {
     "sim_topk_pandas": 0,
     "sort_top20_orders": 0,  # TakeOrderedAndProject, no range exchange
     "split_train_val_test": 1,
+    # the returned frame scans the completed streaming job's verdict
+    # parquet (the job itself runs eagerly at call time; its per-batch
+    # plans are micro-batch-sized by construction)
+    "stream_curation_verdicts": 0,
     "stream_gap_fill": 1,
     "stream_session_windows": 1,
     "stream_sliding_avg": 1,
@@ -220,6 +224,12 @@ PQ_CODE_SCAN_QUERIES = {
 }
 MAX_PQ_SCAN_COLS = 16 + 2  # c0..c15 + vec_id + cell
 
+# The streaming-verdict gate query returns its job's OWN output parquet —
+# all 9 verdict columns are the payload, so the full-width read IS the
+# pruned read.
+FULL_PAYLOAD_SCAN_QUERIES = {"stream_curation_verdicts"}
+MAX_PAYLOAD_SCAN_COLS = 9 + 1  # 9 verdict columns + the epoch partition col
+
 
 @pytest.fixture(scope="module")
 def plan_stats(spark):
@@ -266,7 +276,11 @@ def test_scan_column_pruning(plan_stats):
         name: [n for n, _ in a["scans"] if n > limit]
         for name, a in plan_stats.items()
         for limit in (
-            MAX_PQ_SCAN_COLS if name in PQ_CODE_SCAN_QUERIES else MAX_SCAN_COLS,
+            MAX_PQ_SCAN_COLS
+            if name in PQ_CODE_SCAN_QUERIES
+            else MAX_PAYLOAD_SCAN_COLS
+            if name in FULL_PAYLOAD_SCAN_QUERIES
+            else MAX_SCAN_COLS,
         )
         if any(n > limit for n, _ in a["scans"])
     }

@@ -1,0 +1,22 @@
+"""Registry hygiene pins (r11, VERDICT r10 ask #7)."""
+
+from __future__ import annotations
+
+from streaming_data_pipeline_capstone_spark import registry
+
+
+def test_sample_first_names_all_resolve():
+    """Every must-sample name must be a registered query — a stale name
+    silently shrinks the driver's correctness-sample coverage (the r10
+    stream_curation_verdicts delivery bug hid behind exactly this)."""
+    qs = registry.all_queries()
+    stale = set(registry._SAMPLE_FIRST) - set(qs)
+    assert not stale, f"_SAMPLE_FIRST names not registered: {sorted(stale)}"
+
+
+def test_every_query_has_an_oracle():
+    """The repo convention: every registered query ships a DuckDB twin
+    (genuinely non-SQL-expressible ops would be registered oracle-less by
+    design — none currently are; update this pin if one ever is)."""
+    qs, oracles = registry.all_queries(), registry.all_oracles()
+    assert set(qs) == set(oracles)
