@@ -90,6 +90,11 @@ BENCH_QUERIES = [
     # NOTE: totals grew again; compare per-query across rounds.
     "mixture_dsir_weights",          # DSIR: broadcast hashed-ngram ratio table + doc rollup
     "quality_classifier_trained",    # damped-IRLS train + held-out score, end to end
+    # round-11 additions (VERDICT r10 ask #2): the two operators r10
+    # shipped with oracles but no bench rows. NOTE: totals grew again;
+    # compare per-query across rounds.
+    "pipeline_curation_dsir",        # funnel -> DSIR weights -> Gumbel-top-k -> pack
+    "text_dup_spans_strip_hashed",   # hashed-window span strip (production twin)
 ]
 
 WARM_COLD_TOL = 1.25  # warm may exceed cold by noise, not by 25%

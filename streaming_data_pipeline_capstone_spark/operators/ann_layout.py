@@ -80,7 +80,7 @@ def probe_cells_py(
     return [-neg for _, neg in ranked[:nprobe]]
 
 
-def cell_layout_path(sf_dir: str) -> str:
+def cell_layout_path(sf_dir: str, spill: int = 1) -> str:
     slug = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     base = os.path.basename(os.path.abspath(sf_dir).rstrip("/")) or "root"
     # a leading dot (e.g. the .sf1 scale corpus) would make the layout dir
@@ -88,7 +88,8 @@ def cell_layout_path(sf_dir: str) -> str:
     # read today, but with a "All paths were ignored" WARN and on
     # version-fragile behavior; keep the leaf name visible
     base = base.lstrip(".") or "root"
-    return os.path.join(_LAYOUT_ROOT, f"{base}-{slug}")
+    sfx = f"-spill{spill}" if spill > 1 else ""
+    return os.path.join(_LAYOUT_ROOT, f"{base}-{slug}{sfx}")
 
 
 def _model_hash(
@@ -125,18 +126,29 @@ def ensure_cell_layout(
     centroids: list[list[float]],
     pq_books: list[list[list[float]]],
     pq_sub_dim: int,
+    spill: int = 1,
 ) -> str:
     """Write (once) and return the cell-partitioned serving layout for the
     embeddings at ``sf_dir``: columns vec_id, embedding, c0..c{S-1},
     hive-partitioned by the coarse cell. Idempotent: a marker records the
-    source mtime; the layout is rebuilt only if missing or stale."""
+    source mtime; the layout is rebuilt only if missing or stale.
+
+    ``spill > 1`` writes the SPILLED layout (ScaNN-style
+    multi-assignment): each vector is stored in its ``spill`` nearest
+    cells, so a probe that misses a neighbor's first cell can still find
+    it in its second — the measured fix for the single-assignment recall
+    ceiling on isotropic corpora (ANN_RECALL_r11.json: ivf_exact 0.75 ->
+    0.915 at nprobe/k = 0.25). Costs ``spill`` x the code bytes; the
+    probed FRACTION of stored rows is unchanged. Spilled layouts live
+    beside the spill-1 layout under a ``-spill{n}`` suffix."""
     from streaming_data_pipeline_capstone_spark.operators.similarity import (
         assign_cells,
+        assign_cells_topn,
         pq_encode_cols,
     )
     from streaming_data_pipeline_capstone_spark.sources.readers import read_table
 
-    out = cell_layout_path(sf_dir)
+    out = cell_layout_path(sf_dir, spill)
     marker = os.path.join(out, "_LAYOUT_META.json")
     src_mtime = _source_mtime(sf_dir)
     model_hash = _model_hash(centroids, pq_books, pq_sub_dim)
@@ -146,6 +158,7 @@ def ensure_cell_layout(
         if (
             meta.get("source_mtime") == src_mtime
             and meta.get("model_hash") == model_hash
+            and meta.get("spill", 1) == spill
         ):
             return out
     emb = read_table(spark, sf_dir, "embeddings")
@@ -154,13 +167,24 @@ def ensure_cell_layout(
         "embedding",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    (
-        vecs.select(
+    if spill > 1:
+        assigned = vecs.select(
+            "vec_id",
+            "embedding",
+            *pq_encode_cols(F.col("v"), pq_books, pq_sub_dim),
+            F.explode(assign_cells_topn(F.col("v"), centroids, spill)).alias(
+                "cell"
+            ),
+        )
+    else:
+        assigned = vecs.select(
             "vec_id",
             "embedding",
             *pq_encode_cols(F.col("v"), pq_books, pq_sub_dim),
             assign_cells(F.col("v"), centroids).alias("cell"),
         )
+    (
+        assigned
         .repartition("cell")  # one exchange on cell: one writer per cell dir
         .write.mode("overwrite")
         .partitionBy("cell")
@@ -171,6 +195,7 @@ def ensure_cell_layout(
             {
                 "source_mtime": src_mtime,
                 "model_hash": model_hash,
+                "spill": spill,
                 "sf_dir": os.path.abspath(sf_dir),
             },
             fh,

@@ -743,6 +743,8 @@ from streaming_data_pipeline_capstone_spark.queries.ann_config import (  # noqa:
     PQ_SUB_DIM as _PQ_SUB_DIM,
     PQ_SUBS as _PQ_SUBS,
     RERANK as _RERANK,
+    SPILL as _SPILL,
+    SPILL_NPROBE as _SPILL_NPROBE,
 )
 
 
@@ -1328,6 +1330,16 @@ def _serving_layout(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def _serving_layout_spill(spark: SparkSession, sf_dir: str) -> str:
+    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+        ensure_cell_layout,
+    )
+
+    return ensure_cell_layout(
+        spark, sf_dir, KMEANS_CENTROIDS, PQ_BOOKS, _PQ_SUB_DIM, spill=_SPILL
+    )
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     emb = read_table(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
@@ -1557,6 +1569,122 @@ def sim_topk_ivfpq_rerank_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     rer = raw.join(F.broadcast(short.select("vec_id")), "vec_id")
     return (
         rer.select(
+            "vec_id",
+            F.round(
+                cosine(F.transform("embedding", lambda x: x.cast("double")), qcol),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# -- spilled-assignment serving probe (round 11, VERDICT r10 ask #3) ----------
+# The realistic-cell-count recall measurement (ANN_RECALL_r11.json, k=64
+# cells over the rotate-dup sf1 corpus) showed single-assignment IVF's
+# coarse quantizer IS the recall ceiling on an isotropic corpus: ivf_exact
+# 0.75 at nprobe/k = 0.25, below the 0.8 serving target no matter the PQ /
+# rerank budget downstream. The shipped fix is ScaNN-style spilling
+# (multi-assignment): the layout stores each vector in its _SPILL nearest
+# cells, lifting the ceiling to 0.915 and the composed IVF-PQ+rerank probe
+# to 0.85 (rerank=100) at the SAME probed fraction of stored rows, for
+# 2 x 96-bit code bytes. This gate query runs that exact plan at the
+# fixture's KMEANS_K=8 with _SPILL_NPROBE=2 — the certified nprobe/k =
+# 0.25 ratio — against a DuckDB oracle with the identical spilled
+# assignment, DISTINCT-survivor dedup, shortlist, and re-rank.
+
+
+def _ivfpq_rerank_spill_oracle() -> str:
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        _values_cents_cte("cb", KMEANS_CENTROIDS),
+        # spilled assignment: each vector's _SPILL nearest cells
+        f"""af AS (SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_lloyd_sq(_EMB_DIM)} ASC, c.cell ASC) AS rn
+            FROM e, cb c) WHERE rn <= {_SPILL})""",
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+        f"""probe AS (SELECT cell FROM cb, q
+            ORDER BY list_cosine_similarity(cv, qv) DESC, cell ASC LIMIT {_SPILL_NPROBE})""",
+        # a vector whose two cells are BOTH probed must score once, not twice
+        "surv AS (SELECT DISTINCT vec_id FROM af JOIN probe USING (cell))",
+    ]
+    for s in range(_PQ_SUBS):
+        lo = s * _PQ_SUB_DIM + 1
+        ctes.append(
+            f"e{s} AS (SELECT vec_id, list_slice(v, {lo}, {lo + _PQ_SUB_DIM - 1}) AS v FROM e)"
+        )
+        ctes.append(_values_cents_cte(f"b{s}", PQ_BOOKS[s]))
+        ctes.append(_lloyd_assign_cte(f"s{s}_af", f"e{s}", f"b{s}", _PQ_SUB_DIM))
+    joins, total = _adc_short_ctes(ctes, " JOIN surv USING (vec_id)")
+    ctes.append(
+        f"""short AS (SELECT a0.vec_id, round({total}, 6) AS adc_dist
+            FROM s0_af a0 {joins}
+            ORDER BY adc_dist ASC, vec_id ASC LIMIT {_RERANK})"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+    SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cosine_sim
+    FROM e JOIN short USING (vec_id), q
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """
+    )
+
+
+@register("sim_topk_ivfpq_rerank_spill", _ivfpq_rerank_spill_oracle())
+def sim_topk_ivfpq_rerank_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spilled serving probe at the certified nprobe/k = 0.25 ratio:
+    partition-pruned codes-only scan of the SPILLED layout (each vector
+    stored in its _SPILL=2 nearest cells; probed fraction of stored rows
+    unchanged) -> ADC shortlist -> exact re-rank. Copies of a vector
+    whose cells are both probed carry identical (adc_dist, vec_id), so
+    the shortlist takes _RERANK x _SPILL rows ordered, dedups the tiny
+    frame, and keeps the top _RERANK distinct ids — at serving this is
+    in-memory arithmetic on a few hundred rows, never a corpus shuffle.
+    Composed recall at the realistic k=64 coarse index: 0.85
+    (ANN_RECALL_r11.json ivf_pq_rerank, spill=2, nprobe=16, rerank=100
+    vs 0.71 unspilled)."""
+    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+        probe_cells_py,
+    )
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        pq_adc_score,
+    )
+
+    layout = _serving_layout_spill(spark, sf_dir)
+    query = _query_vec(spark, sf_dir)
+    probes = probe_cells_py(query, KMEANS_CENTROIDS, _SPILL_NPROBE)
+    codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
+    surv_codes = spark.read.parquet(layout).filter(F.col("cell").isin(probes))
+    scored = surv_codes.select(
+        "vec_id",
+        F.round(pq_adc_score(codes, query, PQ_BOOKS, _PQ_SUB_DIM), 6).alias(
+            "adc_dist"
+        ),
+    )
+    # top _RERANK DISTINCT ids by (adc, vec_id): duplicates are adjacent
+    # (identical sort key), so _RERANK * _SPILL ordered rows are enough
+    short = (
+        scored.orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(_RERANK * _SPILL)
+        .dropDuplicates(["vec_id"])
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(_RERANK)
+    )
+    qcol = F.array(*[F.lit(x) for x in query])
+    raw = (
+        spark.read.parquet(layout)
+        .filter(F.col("cell").isin(probes))
+        .select("vec_id", "embedding")
+        .join(F.broadcast(short.select("vec_id")), "vec_id")
+        .dropDuplicates(["vec_id"])
+    )
+    return (
+        raw.select(
             "vec_id",
             F.round(
                 cosine(F.transform("embedding", lambda x: x.cast("double")), qcol),

@@ -78,12 +78,13 @@ def _load_all() -> None:
 _SAMPLE_FIRST = [
     # new in r11
     "stream_curation_verdicts",
+    "sim_topk_ivfpq_rerank_spill",
     # new or semantically changed in r10
     "text_dup_spans_strip_hashed",
     "pipeline_curation_dsir",
     "sim_lsh_pairs_banded_neardup",
     "decontam_ngram_overlap_w8",
-    "join_anti_never_ordered",
+    "join_anti_no_urgent_order",
     # least-recently driver-sampled stragglers
     "text_dup_spans_strip",
     "quality_classifier_trained",

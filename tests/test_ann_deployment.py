@@ -332,3 +332,62 @@ def test_rerank_recall_vs_exact(spark, sf_oracle):
         r.vec_id for r in qs["sim_pq_topk_fixed"](spark, sf_oracle).collect()
     }
     assert len(set(exact) & adc_only) >= 6, adc_only
+
+
+def test_spilled_layout_and_probe(spark, sf_oracle):
+    """Round-11 spilled serving (ANN_RECALL_r11.json): the spilled layout
+    must store every vector in exactly SPILL distinct cells, the first of
+    them bit-identical to the single-assignment choice (spilling ADDS
+    copies, never moves the primary), and the composed probe at the
+    certified nprobe/k = 0.25 ratio must hold recall against exact cosine
+    (measured 9/10 at this fixture probing 2 of 8 cells; gated >=8)."""
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        assign_cells,
+        assign_cells_topn,
+    )
+    from streaming_data_pipeline_capstone_spark.queries.codebooks import (
+        KMEANS_CENTROIDS,
+    )
+    from streaming_data_pipeline_capstone_spark.queries.extras import (
+        _serving_layout_spill,
+    )
+    from streaming_data_pipeline_capstone_spark.queries.ann_config import SPILL
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    qs = all_queries()
+    layout = spark.read.parquet(_serving_layout_spill(spark, sf_oracle))
+    per_vec = (
+        layout.groupBy("vec_id")
+        .agg(
+            F.countDistinct("cell").alias("nc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .agg(
+            F.min("nc").alias("min_nc"),
+            F.max("nc").alias("max_nc"),
+            F.max("n").alias("max_n"),
+        )
+        .collect()[0]
+    )
+    assert (per_vec.min_nc, per_vec.max_nc, per_vec.max_n) == (SPILL, SPILL, SPILL)
+
+    # primary assignment unchanged: topn[0] == assign_cells for every vector
+    emb = read_table(spark, sf_oracle, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    mism = emb.select(
+        (
+            assign_cells_topn(F.col("v"), KMEANS_CENTROIDS, SPILL)[0]
+            != assign_cells(F.col("v"), KMEANS_CENTROIDS)
+        ).alias("bad")
+    ).filter("bad").count()
+    assert mism == 0
+
+    exact = [
+        r.vec_id for r in qs["sim_topk_bruteforce"](spark, sf_oracle).collect()
+    ][:10]
+    got = {
+        r.vec_id
+        for r in qs["sim_topk_ivfpq_rerank_spill"](spark, sf_oracle).collect()
+    }
+    assert len(set(exact) & got) >= 8, got

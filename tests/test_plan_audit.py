@@ -69,7 +69,7 @@ SHUFFLE_BUDGET = {
     "emb_quantize_int8": 0,
     "feature_path_angle": 1,
     "flagship_last3_rolling": 1,  # ONE exchange feeds rank + rolling avg
-    "join_anti_never_ordered": 0,
+    "join_anti_no_urgent_order": 0,
     "join_asof_last_click": 1,
     "join_asof_nearest_click": 2,  # backward + forward passes, purchase-id join
     "join_asof_next_click": 1,
@@ -144,6 +144,9 @@ SHUFFLE_BUDGET = {
     "sim_topk_ivfpq_pruned": 0,  # partition-pruned scan of code cols + ADC
     "sim_pq_topk_rerank_fixed": 0,  # codes scan -> top-R -> broadcast join raw scan
     "sim_topk_ivfpq_rerank_pruned": 0,  # pruned codes scan -> top-R -> pruned raw fetch
+    # the one exchange is dropDuplicates over the TakeOrdered shortlist —
+    # a <= RERANK*SPILL-row frame, never the corpus
+    "sim_topk_ivfpq_rerank_spill": 1,
     "sim_topk_kmeans_ivf": 0,
     "sim_topk_kmeans_ivf_fixed": 0,
     "sim_topk_pandas": 0,
@@ -177,7 +180,7 @@ MUST_PUSH_FILTER = {
     "decontam_ngram_overlap_w8",
     "dedup_embedding_cosine",
     "dedup_semantic_cells",
-    "join_anti_never_ordered",
+    "join_anti_no_urgent_order",
     "join_asof_last_click",
     "join_asof_nearest_click",
     "join_asof_next_click",
@@ -221,6 +224,7 @@ PQ_CODE_SCAN_QUERIES = {
     "sim_topk_ivfpq_fixed",
     "sim_topk_ivfpq_pruned",
     "sim_topk_ivfpq_rerank_pruned",
+    "sim_topk_ivfpq_rerank_spill",
 }
 MAX_PQ_SCAN_COLS = 16 + 2  # c0..c15 + vec_id + cell
 
