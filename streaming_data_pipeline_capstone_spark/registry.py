@@ -53,6 +53,7 @@ def _load_all() -> None:
     from streaming_data_pipeline_capstone_spark.queries import (  # noqa: F401
         stream_curation,
     )
+    from streaming_data_pipeline_capstone_spark.queries import lm  # noqa: F401
     from streaming_data_pipeline_capstone_spark.queries import scalars  # noqa: F401
     from streaming_data_pipeline_capstone_spark.queries import (  # noqa: F401
         streaming_like,
@@ -79,6 +80,8 @@ _SAMPLE_FIRST = [
     # new in r11
     "stream_curation_verdicts",
     "sim_topk_ivfpq_rerank_spill",
+    "quality_lm_perplexity",
+    "quality_lm_ppl_buckets",
     # new or semantically changed in r10
     "text_dup_spans_strip_hashed",
     "pipeline_curation_dsir",

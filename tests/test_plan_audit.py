@@ -39,6 +39,8 @@ BNLJ_OK = {
     "sim_topk_kmeans_ivf",
     "sim_topk_kmeans_ivf_fixed",  # crossJoin against the broadcast 1-row query
     "text_idf_profile",  # crossJoin against the broadcast 1-row corpus count
+    "quality_lm_perplexity",  # crossJoin against the broadcast 1-row (N, V) frame
+    "quality_lm_ppl_buckets",  # same, plus the broadcast <=1-row cuts frame
 }
 
 # Audited exchange count per query (broadcasts excluded). UPPER bounds:
@@ -100,6 +102,15 @@ SHUFFLE_BUDGET = {
     "profile_orders": 2,
     "quality_classifier_trained": 2,  # the weak-label (gopher) side's two doc_id exchanges; feature side is per-row, scoring is literal arithmetic
     "quality_filter_composite": 0,
+    # stupid-backoff LM: 3 reference count-table aggs + trained-trigram
+    # ctx join + distinct-types exchange + types-side lookup joins (the
+    # count tables broadcast at this SF; at corpus scale they shuffle on
+    # the gram, which is the published serving shape) + occurrence join +
+    # doc_id rollup
+    "quality_lm_perplexity": 9,
+    # same chain persisted once (plan_audit dedups the cached block) +
+    # the metadata-sized histogram/cumsum exchanges + broadcast cuts
+    "quality_lm_ppl_buckets": 9,
     "rollup_events_multires": 2,  # 1-min grain agg + 5-min cascade: two keyed exchanges
     "scalar_affine_pixel": 0,
     "scalar_clean_filter": 0,
@@ -192,6 +203,8 @@ MUST_PUSH_FILTER = {
     "join_topk_orders",
     "pipeline_predict_trained",  # holdout predicate pushes through the window
     "pipeline_preprocess_full",
+    "quality_lm_perplexity",  # IsNotNull(text) reaches every documents scan
+    "quality_lm_ppl_buckets",
     "rollup_events_multires",
     "scalar_clean_filter",
     "setop_except_customers",
