@@ -54,6 +54,9 @@ def _load_all() -> None:
         stream_curation,
     )
     from streaming_data_pipeline_capstone_spark.queries import lm  # noqa: F401
+    from streaming_data_pipeline_capstone_spark.queries import (  # noqa: F401
+        retrieval,
+    )
     from streaming_data_pipeline_capstone_spark.queries import scalars  # noqa: F401
     from streaming_data_pipeline_capstone_spark.queries import (  # noqa: F401
         streaming_like,
@@ -82,6 +85,7 @@ _SAMPLE_FIRST = [
     "sim_topk_ivfpq_rerank_spill",
     "quality_lm_perplexity",
     "quality_lm_ppl_buckets",
+    "text_bm25_topk",
     # new or semantically changed in r10
     "text_dup_spans_strip_hashed",
     "pipeline_curation_dsir",

@@ -41,6 +41,7 @@ BNLJ_OK = {
     "text_idf_profile",  # crossJoin against the broadcast 1-row corpus count
     "quality_lm_perplexity",  # crossJoin against the broadcast 1-row (N, V) frame
     "quality_lm_ppl_buckets",  # same, plus the broadcast <=1-row cuts frame
+    "text_bm25_topk",  # crossJoin against the broadcast 1-row (N, avgdl) frame
 }
 
 # Audited exchange count per query (broadcasts excluded). UPPER bounds:
@@ -140,6 +141,9 @@ SHUFFLE_BUDGET = {
     "text_dup_spans_hashed": 2,  # same plan keyed on xxhash64(window): 8-byte exchange
     "text_dup_spans_strip": 2,  # window count + dup-START rollup; start-lists join broadcast
     "text_dup_spans_strip_hashed": 2,  # same plan keyed on xxhash64(window): 8-byte exchange
+    # BM25: query-term IN-filter BEFORE the (doc,term) exchange, |Q|-row
+    # IDF agg, broadcast joins, TakeOrderedAndProject top-k
+    "text_bm25_topk": 5,
     # funnel survivor chain + DSIR weights (3) + zero-shuffle top-k
     # selection + pack over the persisted k-row selected frame
     "pipeline_curation_dsir": 7,
@@ -205,6 +209,7 @@ MUST_PUSH_FILTER = {
     "pipeline_preprocess_full",
     "quality_lm_perplexity",  # IsNotNull(text) reaches every documents scan
     "quality_lm_ppl_buckets",
+    "text_bm25_topk",
     "rollup_events_multires",
     "scalar_clean_filter",
     "setop_except_customers",

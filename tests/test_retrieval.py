@@ -1,0 +1,76 @@
+"""BM25 retrieval (queries/retrieval.py): exact hand-computed scores on a
+micro corpus, and non-vacuity of the standing query on the fixture."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_capstone_spark.queries.retrieval import (
+    _B,
+    _K1,
+    _MICRO,
+    _QUERY_TERMS,
+    _bm25_scores,
+)
+from streaming_data_pipeline_capstone_spark.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def bm25_micro_dir(spark, tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("bm25corpus")
+    rows = [
+        (1, "hash HASH join"),
+        (2, "join scan"),
+        (3, "the quick fox"),
+    ]
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def _bm25(tf: int, dl: int, df: int, n: float, avgdl: float) -> int:
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    c = idf * (tf * (_K1 + 1.0)) / (tf + _K1 * (1.0 - _B + _B * dl / avgdl))
+    return round(c * _MICRO)
+
+
+def test_bm25_hand_computed(spark, bm25_micro_dir):
+    """N=3, avgdl=8/3; df: hash=1, join=2, scan=1, window=0.
+    doc 1 (dl=3): tf(hash)=2 (case-normalized), tf(join)=1.
+    doc 2 (dl=2): tf(join)=1, tf(scan)=1. doc 3 matches nothing."""
+    out = {
+        r.doc_id: r.score_micro
+        for r in _bm25_scores(spark, bm25_micro_dir, _QUERY_TERMS).collect()
+    }
+    n, avgdl = 3.0, 8.0 / 3.0
+    assert set(out) == {1, 2}
+    assert out[1] == _bm25(2, 3, 1, n, avgdl) + _bm25(1, 3, 2, n, avgdl)
+    assert out[2] == _bm25(1, 2, 2, n, avgdl) + _bm25(1, 2, 1, n, avgdl)
+
+
+def test_bm25_fixture_non_vacuous(spark, sf_oracle):
+    """Every standing query term must occur in the fixture corpus (else
+    the gate certifies a trivial plan), scores must be positive, and the
+    top-20 must be strictly rank-ordered with the doc_id tiebreak."""
+    from streaming_data_pipeline_capstone_spark.operators.textstats import tokens
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_oracle, "documents")
+    present = {
+        r.term
+        for r in docs.select(F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term").isin(_QUERY_TERMS))
+        .distinct()
+        .collect()
+    }
+    assert present == set(_QUERY_TERMS)
+
+    rows = all_queries()["text_bm25_topk"](spark, sf_oracle).collect()
+    assert len(rows) == 20
+    assert all(r.score_micro > 0 for r in rows)
+    keys = [(-r.score_micro, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
