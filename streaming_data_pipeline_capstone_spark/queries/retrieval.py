@@ -108,10 +108,10 @@ def _bm25_scores(
     )
 
 
-def _bm25_oracle(terms: list[str], topk: int) -> str:
+def _bm25_ctes(terms: list[str]) -> str:
+    """The shared oracle CTE chain ending in ``bm(doc_id, score_micro)``."""
     tl = ", ".join(f"'{t}'" for t in terms)
-    return f"""
-    WITH d AS (
+    return f"""d AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
       FROM documents
     ),
@@ -136,9 +136,18 @@ def _bm25_oracle(terms: list[str], topk: int) -> str:
                   / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * CAST(lens.dl AS DOUBLE) / idf.avgdl))
                   * {_MICRO}.0, 0) AS BIGINT) AS c_micro
       FROM tf JOIN idf USING (term) JOIN lens USING (doc_id)
-    )
-    SELECT doc_id, CAST(SUM(c_micro) AS BIGINT) AS score_micro
-    FROM contrib GROUP BY doc_id
+    ),
+    bm AS (
+      SELECT doc_id, CAST(SUM(c_micro) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY doc_id
+    )"""
+
+
+def _bm25_oracle(terms: list[str], topk: int) -> str:
+    return f"""
+    WITH {_bm25_ctes(terms)}
+    SELECT doc_id, score_micro
+    FROM bm
     ORDER BY score_micro DESC, doc_id ASC
     LIMIT {topk}
     """
@@ -151,5 +160,107 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _bm25_scores(spark, sf_dir, _QUERY_TERMS)
         .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(_TOPK)
+    )
+
+
+# -- hybrid retrieval: reciprocal rank fusion --------------------------------
+# Cormack et al. 2009's RRF: fuse a dense (embedding cosine) and a sparse
+# (BM25) candidate list by summed reciprocal ranks, score(d) =
+# Σ_lists 1/(K + rank_d). The standard published hybrid-retrieval baseline
+# — robust to the two scorers' incomparable scales because only RANKS
+# cross the boundary. The embeddings and documents tables share the id
+# space (vec_id i embeds document i), so the fusion join is meaningful.
+#
+# 100 TB shape: each candidate list is generated by its own scalable plan
+# (dense: TakeOrderedAndProject over the corpus — or any ANN probe;
+# sparse: the pre-filtered BM25 plan above) and is ≤ _CAND rows; ranking
+# and fusion run on those metadata-sized frames (single-partition windows
+# over ≤50 rows, a ≤100-row outer join). Reciprocal-rank terms are
+# rounded once to integer micro-units, so fused scores are integer sums.
+
+_RRF_K = 60      # Cormack et al.'s published constant
+_CAND = 50       # per-list candidate depth feeding the fusion
+
+
+def _rrf_oracle() -> str:
+    return f"""
+    WITH {_bm25_ctes(_QUERY_TERMS)},
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    dall AS (
+      SELECT vec_id AS id,
+             row_number() OVER (
+               ORDER BY round(list_cosine_similarity(v, qv), 6) DESC,
+                        vec_id ASC) AS r_dense
+      FROM e CROSS JOIN q
+    ),
+    dense AS (SELECT id, r_dense FROM dall WHERE r_dense <= {_CAND}),
+    sall AS (
+      SELECT doc_id AS id,
+             row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS r_sparse
+      FROM bm
+    ),
+    sparse AS (SELECT id, r_sparse FROM sall WHERE r_sparse <= {_CAND})
+    SELECT id, r_dense, r_sparse,
+           CAST(coalesce(CAST(round({_MICRO}.0 / ({_RRF_K} + r_dense)) AS BIGINT), 0)
+              + coalesce(CAST(round({_MICRO}.0 / ({_RRF_K} + r_sparse)) AS BIGINT), 0)
+             AS BIGINT) AS rrf_micro
+    FROM dense FULL OUTER JOIN sparse USING (id)
+    ORDER BY rrf_micro DESC, id ASC
+    LIMIT {_TOPK}
+    """
+
+
+@register("retrieval_hybrid_rrf", _rrf_oracle())
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 by reciprocal rank fusion of dense cosine top-50 and BM25
+    top-50 (ranks BIGINT, null where the doc is in one list only)."""
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_capstone_spark.operators.similarity import cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    qv = emb.filter(F.col("vec_id") == 0).select(as_double.alias("qv"))
+    # candidate generation: TakeOrderedAndProject over the corpus; the
+    # row_number below runs on the ≤_CAND-row result, not the corpus
+    dense_cand = (
+        emb.select("vec_id", as_double.alias("v"))
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(_CAND)
+    )
+    w_d = Window.partitionBy(F.lit(1)).orderBy(F.desc("sim"), F.asc("vec_id"))
+    dense = dense_cand.select(
+        F.col("vec_id").alias("id"),
+        F.row_number().over(w_d).cast("bigint").alias("r_dense"),
+    )
+    sparse_cand = (
+        _bm25_scores(spark, sf_dir, _QUERY_TERMS)
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(_CAND)
+    )
+    w_s = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    sparse = sparse_cand.select(
+        F.col("doc_id").alias("id"),
+        F.row_number().over(w_s).cast("bigint").alias("r_sparse"),
+    )
+    rr = lambda r: F.round(F.lit(float(_MICRO)) / (_RRF_K + r)).cast("bigint")  # noqa: E731
+    return (
+        dense.join(sparse, "id", "full_outer")
+        .select(
+            "id",
+            "r_dense",
+            "r_sparse",
+            (
+                F.coalesce(rr(F.col("r_dense")), F.lit(0))
+                + F.coalesce(rr(F.col("r_sparse")), F.lit(0))
+            ).alias("rrf_micro"),
+        )
+        .orderBy(F.desc("rrf_micro"), F.asc("id"))
         .limit(_TOPK)
     )

@@ -86,6 +86,7 @@ _SAMPLE_FIRST = [
     "quality_lm_perplexity",
     "quality_lm_ppl_buckets",
     "text_bm25_topk",
+    "retrieval_hybrid_rrf",
     # new or semantically changed in r10
     "text_dup_spans_strip_hashed",
     "pipeline_curation_dsir",

@@ -42,6 +42,7 @@ BNLJ_OK = {
     "quality_lm_perplexity",  # crossJoin against the broadcast 1-row (N, V) frame
     "quality_lm_ppl_buckets",  # same, plus the broadcast <=1-row cuts frame
     "text_bm25_topk",  # crossJoin against the broadcast 1-row (N, avgdl) frame
+    "retrieval_hybrid_rrf",  # same, plus the broadcast 1-row query vector
 }
 
 # Audited exchange count per query (broadcasts excluded). UPPER bounds:
@@ -144,6 +145,9 @@ SHUFFLE_BUDGET = {
     # BM25: query-term IN-filter BEFORE the (doc,term) exchange, |Q|-row
     # IDF agg, broadcast joins, TakeOrderedAndProject top-k
     "text_bm25_topk": 5,
+    # RRF: BM25's plan + dense TakeOrdered candidate gen; the fusion
+    # windows/outer-join run on <=50-row frames
+    "retrieval_hybrid_rrf": 5,
     # funnel survivor chain + DSIR weights (3) + zero-shuffle top-k
     # selection + pack over the persisted k-row selected frame
     "pipeline_curation_dsir": 7,
@@ -210,6 +214,7 @@ MUST_PUSH_FILTER = {
     "quality_lm_perplexity",  # IsNotNull(text) reaches every documents scan
     "quality_lm_ppl_buckets",
     "text_bm25_topk",
+    "retrieval_hybrid_rrf",
     "rollup_events_multires",
     "scalar_clean_filter",
     "setop_except_customers",

@@ -74,3 +74,51 @@ def test_bm25_fixture_non_vacuous(spark, sf_oracle):
     assert all(r.score_micro > 0 for r in rows)
     keys = [(-r.score_micro, r.doc_id) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_rrf_fusion_matches_python_recompute(spark, sf_oracle):
+    """The fused top-20 must equal a Python recompute of RRF from the two
+    candidate lists collected independently (dense via the registered
+    brute-force query's ordering, sparse via _bm25_scores)."""
+    from streaming_data_pipeline_capstone_spark.queries.retrieval import (
+        _CAND,
+        _RRF_K,
+        _TOPK,
+    )
+
+    qs = all_queries()
+    # the registered brute-force query returns top-20; rebuild the same
+    # ordering 50-deep for the candidate list
+    from streaming_data_pipeline_capstone_spark.operators.similarity import cosine
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_oracle, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    qv = emb.filter(F.col("vec_id") == 0).select(as_double.alias("qv"))
+    dense_ids = [
+        r.vec_id
+        for r in emb.select("vec_id", as_double.alias("v"))
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(_CAND)
+        .collect()
+    ]
+    sparse_ids = [
+        r.doc_id
+        for r in _bm25_scores(spark, sf_oracle, _QUERY_TERMS)
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(_CAND)
+        .collect()
+    ]
+    exp: dict[int, int] = {}
+    for rank, i in enumerate(dense_ids, 1):
+        exp[i] = exp.get(i, 0) + round(_MICRO / (_RRF_K + rank))
+    for rank, i in enumerate(sparse_ids, 1):
+        exp[i] = exp.get(i, 0) + round(_MICRO / (_RRF_K + rank))
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:_TOPK]
+    got = [
+        (r.id, r.rrf_micro)
+        for r in qs["retrieval_hybrid_rrf"](spark, sf_oracle).collect()
+    ]
+    assert got == want
