@@ -95,6 +95,9 @@ BENCH_QUERIES = [
     # compare per-query across rounds.
     "pipeline_curation_dsir",        # funnel -> DSIR weights -> Gumbel-top-k -> pack
     "text_dup_spans_strip_hashed",   # hashed-window span strip (production twin)
+    "quality_lm_perplexity",         # stupid-backoff trigram LM doc scoring
+    "text_bm25_topk",                # pre-filtered BM25 top-k
+    "retrieval_hybrid_rrf",          # dense + sparse reciprocal rank fusion
 ]
 
 WARM_COLD_TOL = 1.25  # warm may exceed cold by noise, not by 25%
