@@ -73,6 +73,10 @@ LLMOPS_QUERIES = [
     # bands — the knob VERDICT r5 ask #3 wanted shipped and timed)
     "sim_topk_ivfpq_fixed",
     "sim_lsh_pairs_banded_scaled",
+    # round 11: spilled serving probe, LM scoring, and hybrid retrieval
+    "sim_topk_ivfpq_rerank_spill",
+    "quality_lm_perplexity",
+    "retrieval_hybrid_rrf",
 ]
 
 WARM_COLD_TOL = 1.25  # per-query warm may exceed cold by noise, not by 25%
