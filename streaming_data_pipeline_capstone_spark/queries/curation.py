@@ -153,6 +153,81 @@ def decontam_ngram_overlap_w8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decontam(spark, sf_dir, _DECON_N_W8, plant=True)
 
 
+# -- Bloom-prefiltered decontamination (round 11) ------------------------------
+# The 100 TB form of the eval-gram membership test. The broadcast-join
+# decontam above ships the full eval GRAM SET to every executor — fine
+# while the benchmark suite is small, but a large held-out corpus (or a
+# union of many benchmarks) makes that broadcast the bottleneck. The
+# standard fix — the same semijoin reduction Spark's own runtime filters
+# apply to shuffle joins — is a Bloom-style bitmap prefilter:
+#
+#   1. hash every eval gram into an M-bit bitmap (M = 2^20 → 128 KiB,
+#      ~1000x smaller than the gram set it summarizes — THIS broadcasts
+#      at any benchmark size). Built fully distributed: bit positions
+#      aggregate per 64-bit word index with bit_or, no driver collect;
+#   2. corpus grams test their bit via a broadcast join on the word
+#      index — false positives pass (hash collisions), true matches
+#      always pass (no false negatives by construction);
+#   3. ONLY the surviving sliver (true overlaps + ~0.5% FP at the gate's
+#      load factor) reaches the exact gram join, which therefore no
+#      longer needs the corpus-sized side at all.
+#
+# The exact verify makes the composition's OUTPUT identical to the plain
+# w8 query, so the registered oracle is the SAME exact SQL — a hash match
+# certifies that the prefilter dropped nothing it shouldn't (the bitmap
+# math is only a performance device, never a semantics device).
+_BLOOM_BITS_LOG2 = 20
+_BLOOM_WORDS = (1 << _BLOOM_BITS_LOG2) // 64
+
+
+def _gram_bit_cols() -> tuple[F.Column, F.Column]:
+    """(word_idx, bit_idx) of a gram's position in the M-bit bitmap."""
+    h = F.pmod(F.xxhash64("gram"), F.lit(1 << _BLOOM_BITS_LOG2))
+    return F.shiftright(h, 6).alias("word"), (h % 64).cast("int").alias("bit")
+
+
+@register(
+    "decontam_bloom_prefilter_w8", _decontam_oracle(_DECON_N_W8, plant=True)
+)
+def decontam_bloom_prefilter_w8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontam_ngram_overlap_w8 through the Bloom-prefilter plan: output
+    row-identical (pinned in tests and by sharing the exact oracle), but
+    the only structure broadcast corpus-wide is the 16,384-word bitmap,
+    and the exact gram join runs over the prefiltered sliver without a
+    broadcast hint — the shape that survives an arbitrarily large
+    benchmark suite."""
+    docs = read_table(spark, sf_dir, "documents")
+    with_t = docs.select("doc_id", tokens(_planted_text()).alias("t"))
+    grams = with_t.select(
+        "doc_id", F.explode(_strict_ngrams(F.col("t"), _DECON_N_W8)).alias("gram")
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    eval_grams = grams.filter(is_eval).select("gram").distinct()
+    word, bit = _gram_bit_cols()
+    bitmap = (
+        eval_grams.select(word, bit)
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("mask"))
+    )
+    survivors = (
+        grams.filter(~is_eval)
+        .select("doc_id", "gram", word, bit)
+        # inner join: a word with no eval bits set cannot contain a match
+        .join(F.broadcast(bitmap), "word")
+        .filter(F.expr("(shiftright(mask, bit) & 1) = 1"))
+        .select("doc_id", "gram")
+    )
+    # exact verify over the sliver — deliberately NO broadcast hint: at
+    # scale this is a shuffle join whose left side the bitmap already
+    # shrank to ~the contaminated fraction (AQE may still broadcast the
+    # eval side when it happens to be small, as at the gate)
+    return (
+        survivors.join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
 # -- document-frequency profile ----------------------------------------------
 _RARE_DF = 2          # tokens in ≤2 docs are "rare"
 _COMMON_FRAC = 0.5    # tokens in ≥50% of docs are "common" (boilerplate-ish)

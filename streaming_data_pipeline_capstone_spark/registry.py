@@ -87,6 +87,7 @@ _SAMPLE_FIRST = [
     "quality_lm_ppl_buckets",
     "text_bm25_topk",
     "retrieval_hybrid_rrf",
+    "decontam_bloom_prefilter_w8",
     # new or semantically changed in r10
     "text_dup_spans_strip_hashed",
     "pipeline_curation_dsir",

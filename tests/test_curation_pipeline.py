@@ -360,3 +360,62 @@ def test_funnel_stage_membership_matches_stage_queries(spark, sf_oracle):
         if d % _EVAL_MOD != 0 and d in dd and d in qok and d not in cont
     }
     assert surv == expect
+
+
+def test_bloom_prefilter_row_identical_and_selective(spark, sf_oracle):
+    """The Bloom-prefiltered decontam must return EXACTLY the plain w8
+    query's rows (the bitmap is a performance device, never a semantics
+    device), and the prefilter must actually prefilter: the sliver
+    reaching the exact join must be a small fraction of the corpus gram
+    stream (at the gate's ~0.5% bitmap load, survivors ≈ true overlaps
+    plus sub-percent false positives)."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_capstone_spark.queries.curation import (
+        _DECON_N_W8,
+        _EVAL_MOD,
+        _gram_bit_cols,
+        _planted_text,
+        _strict_ngrams,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    qs = all_queries()
+    plain = sorted(
+        (r.doc_id, r.n_shared_ngrams)
+        for r in qs["decontam_ngram_overlap_w8"](spark, sf_oracle).collect()
+    )
+    bloom = sorted(
+        (r.doc_id, r.n_shared_ngrams)
+        for r in qs["decontam_bloom_prefilter_w8"](spark, sf_oracle).collect()
+    )
+    assert bloom == plain and len(bloom) > 0
+
+    docs = read_table(spark, sf_oracle, "documents")
+    with_t = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(_planted_text())), r"\s+").alias("t"),
+    )
+    grams = with_t.select(
+        "doc_id",
+        F.explode(_strict_ngrams(F.col("t"), _DECON_N_W8)).alias("gram"),
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    word, bit = _gram_bit_cols()
+    bitmap = (
+        grams.filter(is_eval)
+        .select("gram")
+        .distinct()
+        .select(word, bit)
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("mask"))
+    )
+    corpus = grams.filter(~is_eval)
+    total = corpus.count()
+    surv = (
+        corpus.select("doc_id", "gram", word, bit)
+        .join(F.broadcast(bitmap), "word")
+        .filter(F.expr("(shiftright(mask, bit) & 1) = 1"))
+        .count()
+    )
+    assert surv < 0.05 * total, (surv, total)

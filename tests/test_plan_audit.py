@@ -104,6 +104,10 @@ SHUFFLE_BUDGET = {
     "profile_orders": 2,
     "quality_classifier_trained": 2,  # the weak-label (gopher) side's two doc_id exchanges; feature side is per-row, scoring is literal arithmetic
     "quality_filter_composite": 0,
+    # bitmap build (word-keyed bit_or) + eval-gram dedup + doc_id rollup;
+    # the exact-verify join over the prefiltered sliver broadcasts at
+    # this SF (would be a sliver-sized shuffle at corpus scale)
+    "decontam_bloom_prefilter_w8": 3,
     # stupid-backoff LM: 3 reference count-table aggs + trained-trigram
     # ctx join + distinct-types exchange + types-side lookup joins (the
     # count tables broadcast at this SF; at corpus scale they shuffle on
@@ -197,6 +201,7 @@ MUST_PUSH_FILTER = {
     "agg_pricing_summary",
     "decontam_ngram_overlap",
     "decontam_ngram_overlap_w8",
+    "decontam_bloom_prefilter_w8",
     "dedup_embedding_cosine",
     "dedup_semantic_cells",
     "join_anti_no_urgent_order",
