@@ -404,6 +404,148 @@ def quality_filter_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- per-source corpus health rollup (round 11) --------------------------------
+# The monitoring query every curation pipeline runs per ingest batch: for
+# each SOURCE (crawl/feed/provider), doc counts, token volume, the
+# composite-filter pass rate, and the per-reason failure breakdown — the
+# table that tells an operator WHICH feed went bad when the corpus-wide
+# pass rate moves. Same rule constants and branch order as
+# quality_filter_composite, so the two queries can never disagree.
+#
+# 100 TB shape: all signals are per-row expressions (zero shuffles until
+# the rollup); the single exchange is a groupBy on the low-cardinality
+# source key, which is exactly the skew-by-construction case partial
+# aggregation exists for — map-side combine reduces each partition to
+# ≤|sources| rows before anything moves, so the exchange carries
+# |partitions|·|sources| tiny rows regardless of corpus size.
+#
+# Determinism: counts are integers; per-doc float signals (mean token
+# length, digit fraction) round ONCE to integer micro-units and roll up
+# as integer sums; every published mean divides two integers at the end.
+
+
+@register(
+    "corpus_health_by_source",
+    f"""
+    WITH s AS (
+      SELECT doc_id, source, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS t,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+             greatest(length(text), 1) AS n_chars
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source,
+             len(t) AS n_tokens,
+             CAST(round(CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT)))
+                  AS DOUBLE) / greatest(len(t), 1) * 1000000.0) AS BIGINT) AS mean_tok_micro,
+             CAST(round(CAST(n_digits AS DOUBLE) / n_chars * 1000000.0) AS BIGINT)
+               AS digit_frac_micro,
+             CASE
+               WHEN lang NOT IN ({', '.join("'" + l + "'" for l in _LANG_ALLOW)})
+                 THEN 'lang_filtered'
+               WHEN len(t) < {_CMP_MIN_TOKENS} THEN 'too_short'
+               WHEN len(t) > {_CMP_MAX_TOKENS} THEN 'too_long'
+               WHEN CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT)))
+                    AS DOUBLE) / greatest(len(t), 1) < {_MIN_MEAN_TOK}
+                 OR CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT)))
+                    AS DOUBLE) / greatest(len(t), 1) > {_MAX_MEAN_TOK}
+                 THEN 'token_length'
+               WHEN CAST(n_digits AS DOUBLE) / n_chars > {_MAX_DIGIT_FRAC}
+                 THEN 'too_numeric'
+               ELSE 'ok'
+             END AS reason
+      FROM s
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+           CAST(SUM(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(CAST(SUM(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS pass_rate,
+           round(CAST(SUM(n_tokens) AS DOUBLE) / count(*), 6) AS mean_tokens,
+           round(CAST(SUM(mean_tok_micro) AS DOUBLE) / (count(*) * 1000000.0), 6)
+             AS mean_tok_len,
+           round(CAST(SUM(digit_frac_micro) AS DOUBLE) / (count(*) * 1000000.0), 6)
+             AS mean_digit_frac,
+           CAST(SUM(CASE WHEN reason = 'lang_filtered' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lang_filtered,
+           CAST(SUM(CASE WHEN reason = 'too_short' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_too_short,
+           CAST(SUM(CASE WHEN reason = 'too_long' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_too_long,
+           CAST(SUM(CASE WHEN reason = 'token_length' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_token_length,
+           CAST(SUM(CASE WHEN reason = 'too_numeric' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_too_numeric
+    FROM m GROUP BY source
+    """,
+)
+def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "source",
+        "lang",
+        tokens("text").alias("t"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digits"),
+        F.greatest(F.length("text"), F.lit(1)).alias("n_chars"),
+    )
+    t = F.col("t")
+    n_tokens = F.size(t)
+    mean_tok = (
+        F.aggregate(t, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+        .cast("double")
+        / F.greatest(n_tokens, F.lit(1))
+    )
+    digit_frac = F.col("n_digits").cast("double") / F.col("n_chars")
+    reason = (
+        F.when(~F.col("lang").isin(_LANG_ALLOW), "lang_filtered")
+        .when(n_tokens < _CMP_MIN_TOKENS, "too_short")
+        .when(n_tokens > _CMP_MAX_TOKENS, "too_long")
+        .when((mean_tok < _MIN_MEAN_TOK) | (mean_tok > _MAX_MEAN_TOK), "token_length")
+        .when(digit_frac > _MAX_DIGIT_FRAC, "too_numeric")
+        .otherwise("ok")
+    )
+    m = s.select(
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok * 1_000_000, 0).cast("bigint").alias("mean_tok_micro"),
+        F.round(digit_frac * 1_000_000, 0).cast("bigint").alias("digit_frac_micro"),
+        reason.alias("reason"),
+    )
+
+    def _n(r: str, alias: str) -> F.Column:
+        return F.sum(F.when(F.col("reason") == r, 1).otherwise(0)).cast(
+            "bigint"
+        ).alias(alias)
+
+    return m.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+        _n("ok", "n_kept"),
+        F.round(
+            F.sum(F.when(F.col("reason") == "ok", 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("pass_rate"),
+        F.round(F.sum("n_tokens").cast("double") / F.count("*"), 6).alias(
+            "mean_tokens"
+        ),
+        F.round(
+            F.sum("mean_tok_micro").cast("double") / (F.count("*") * 1_000_000.0), 6
+        ).alias("mean_tok_len"),
+        F.round(
+            F.sum("digit_frac_micro").cast("double") / (F.count("*") * 1_000_000.0),
+            6,
+        ).alias("mean_digit_frac"),
+        _n("lang_filtered", "n_lang_filtered"),
+        _n("too_short", "n_too_short"),
+        _n("too_long", "n_too_long"),
+        _n("token_length", "n_token_length"),
+        _n("too_numeric", "n_too_numeric"),
+    )
+
+
 # -- temperature-rebalanced mixture sampling ----------------------------------
 # The standard multilingual pretraining mix (XLM-R / mT5 style): sample
 # language l with rate ∝ p_l^(α−1), α<1, normalized so the RAREST

@@ -88,6 +88,7 @@ _SAMPLE_FIRST = [
     "text_bm25_topk",
     "retrieval_hybrid_rrf",
     "decontam_bloom_prefilter_w8",
+    "corpus_health_by_source",
     # new or semantically changed in r10
     "text_dup_spans_strip_hashed",
     "pipeline_curation_dsir",

@@ -242,3 +242,37 @@ def test_temperature_sampling_monotone(spark, sf_smoke):
         assert a["rate"] >= b["rate"] - 1e-9
     for r in rows:
         assert 0 < r["n_kept"] <= r["n_docs"]
+
+
+def test_corpus_health_consistent_with_composite_filter(spark, sf_oracle):
+    """The per-source rollup must agree exactly with the per-doc composite
+    filter it summarizes: per-source kept counts equal the filter's keeps
+    joined to the documents' source column, reason columns partition
+    n_docs, and totals cover the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_capstone_spark.registry import all_queries
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    qs = all_queries()
+    health = {r.source: r for r in qs["corpus_health_by_source"](spark, sf_oracle).collect()}
+    docs = read_table(spark, sf_oracle, "documents").select("doc_id", "source")
+    kept_by_src = {
+        r.source: r.n
+        for r in qs["quality_filter_composite"](spark, sf_oracle)
+        .filter("keep")
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_corpus = docs.count()
+    assert sum(r.n_docs for r in health.values()) == n_corpus
+    for src, r in health.items():
+        assert r.n_kept == kept_by_src.get(src, 0), src
+        parts = (
+            r.n_kept + r.n_lang_filtered + r.n_too_short + r.n_too_long
+            + r.n_token_length + r.n_too_numeric
+        )
+        assert parts == r.n_docs, src
+        assert r.pass_rate == round(r.n_kept / r.n_docs, 6), src

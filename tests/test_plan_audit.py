@@ -108,6 +108,9 @@ SHUFFLE_BUDGET = {
     # the exact-verify join over the prefiltered sliver broadcasts at
     # this SF (would be a sliver-sized shuffle at corpus scale)
     "decontam_bloom_prefilter_w8": 3,
+    # per-row signals + ONE exchange on source (low-cardinality key —
+    # map-side combine reduces each partition to <=|sources| rows first)
+    "corpus_health_by_source": 1,
     # stupid-backoff LM: 3 reference count-table aggs + trained-trigram
     # ctx join + distinct-types exchange + types-side lookup joins (the
     # count tables broadcast at this SF; at corpus scale they shuffle on
