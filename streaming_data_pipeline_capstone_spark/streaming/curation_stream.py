@@ -26,10 +26,15 @@ arrives. This module runs that as the reference's own two-job architecture
 - ``keep``         — the composed verdict (dedup AND quality rules).
 
 100 TB shape: every per-batch stage is either a stateless projection or a
-join against the fingerprint index keyed on a 32-hex-char fingerprint —
-at scale the index is bucketed by fp so the join prunes to matching
-buckets, and verdict epochs land as parquet a downstream packing job
-consumes. State is storage, not memory: the job's driver holds nothing.
+join against the fingerprint index keyed on a 32-hex-char fingerprint.
+The index IS bucketed by an fp prefix (``bkt=`` partition level above the
+epoch partitions), and each micro-batch reads ONLY the bucket directories
+its own fingerprints hash to — the bucket list is a per-batch literal, so
+neither listing nor row-group I/O grows with the accumulated index
+(per-batch state cost Θ(batch), not Θ(history); pinned by
+tests/test_stream_curation.py's files-read assertion). Verdict epochs
+land as parquet a downstream packing job consumes. State is storage, not
+memory: the job's driver holds nothing.
 
 Dedup semantics: first-arrival-wins, with min-doc_id tiebreak inside a
 micro-batch. When the stream is REPLAYED IN doc_id ORDER (the registered
@@ -71,6 +76,17 @@ from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
     read_index,
     write_epoch_idempotent,
 )
+
+# 1 hex char of the md5 fingerprint → 16 index buckets (uniform by
+# construction) — sized for gate micro-batches of hundreds of docs; at
+# 100 TB batch sizes raise the prefix length (4 → 65,536 buckets), the
+# recipe is unchanged.
+_FP_PREFIX_LEN = 1
+
+
+def _fp_bucket(fp):
+    return F.substring(fp, 1, _FP_PREFIX_LEN)
+
 
 VERDICT_COLUMNS = [
     "doc_id",
@@ -188,20 +204,29 @@ def _verdict_batch(
     fp_path = os.path.join(state_dir, "fp_min")
     b = batch.select("doc_id", "lang", "text", fingerprint("text").alias("fp"))
     b = b.withColumn("batch_min", F.min("doc_id").over(Window.partitionBy("fp")))
-    # the isdir fast-path just keeps the first batch's logs clean on a
-    # local filesystem; the except covers remote state dirs
-    have_index = "://" in fp_path or os.path.isdir(fp_path)
-    if have_index:
-        try:
-            old = (
-                read_index(spark, fp_path, exclude_epoch=epoch_id)
-                .groupBy("fp")
-                .agg(F.min("min_doc").alias("old_min"))
-            )
-            b = b.join(old, "fp", "left")
-        except Exception:  # first batch: no index yet
-            have_index = False
-    if not have_index:
+    base = b = b.persist()  # consumed twice: verdicts + index write
+    # The fingerprint index is bucketed by an fp prefix
+    # (write_epoch_idempotent's bkt= level); each batch reads ONLY the
+    # bucket directories its own fingerprints hash to — the bucket list
+    # is a per-batch literal, so per-micro-batch state I/O is Θ(batch),
+    # not Θ(accumulated index). Collected from the RAW batch projection
+    # (one map-only job — no window shuffle on this path).
+    bkts = [
+        r[0]
+        for r in batch.select(
+            _fp_bucket(fingerprint("text")).alias("bk")
+        )
+        .distinct()
+        .collect()
+    ]
+    try:
+        old = (
+            read_index(spark, fp_path, exclude_epoch=epoch_id, buckets=bkts)
+            .groupBy("fp")
+            .agg(F.min("min_doc").alias("old_min"))
+        )
+        b = b.join(old, "fp", "left")
+    except Exception:  # first batch / all-new buckets: no old state
         b = b.withColumn("old_min", F.lit(None).cast("bigint"))
     keep_dedup = (F.col("doc_id") == F.col("batch_min")) & (
         F.col("old_min").isNull() | (F.col("doc_id") < F.col("old_min"))
@@ -211,8 +236,12 @@ def _verdict_batch(
     )
     write_epoch_idempotent(verdicts, out_dir, epoch_id)
     write_epoch_idempotent(
-        b.groupBy("fp").agg(F.min("doc_id").alias("min_doc")), fp_path, epoch_id
+        b.groupBy("fp").agg(F.min("doc_id").alias("min_doc")),
+        fp_path,
+        epoch_id,
+        bucket=_fp_bucket(F.col("fp")),
     )
+    base.unpersist()
 
 
 def start_verdict_stream(

@@ -16,9 +16,11 @@ per micro-batch (foreachBatch):
      shingles to the index
 
 The index is two parquet tables (bands keyed by bucket hash, shingle sets
-keyed by doc). At 100 TB both are partitioned/bucketed by their join key
-so step 2 is a bucket-pruned join; here they are plain parquet dirs. State
-is storage-backed, not driver-resident — the driver only orchestrates.
+keyed by doc), each PARTITIONED BY A KEY BUCKET (``bkt=`` level above the
+epoch partitions): per micro-batch, only the bucket directories the
+batch's own band hashes / candidate doc ids touch are listed and read, so
+steps 2 and 4 cost Θ(batch), not Θ(accumulated index). State is
+storage-backed, not driver-resident — the driver only orchestrates.
 """
 
 from __future__ import annotations
@@ -41,7 +43,32 @@ from streaming_data_pipeline_capstone_spark.operators.dedup import (
 )
 
 
-def write_epoch_idempotent(df: DataFrame, path: str, epoch_id: int) -> None:
+# State-index bucket fan-outs. Sized for the gate corpora (hundreds of
+# docs per micro-batch — more buckets than that just multiplies tiny
+# files and per-batch fixed costs); at 100 TB raise the prefix length /
+# modulus (e.g. 4 hex chars = 65,536 buckets) — the pruning recipe is
+# unchanged, only the constant grows with batch size.
+_BH_PREFIX_LEN = 1  # md5-hex prefix → 16 band-index buckets
+
+
+def _bh_bucket(bh):
+    """Bucket of a band hash: leading hex chars of the md5 — uniform by
+    construction, and computable from the batch alone."""
+    return F.substring(bh, 1, _BH_PREFIX_LEN)
+
+
+_DOC_BUCKETS = 16
+
+
+def _doc_bucket(doc):
+    """Bucket of a doc id for the shingle-set index: pmod over a fixed
+    fan-out (doc ids are arbitrary bigints)."""
+    return F.pmod(doc, F.lit(_DOC_BUCKETS)).cast("int")
+
+
+def write_epoch_idempotent(
+    df: DataFrame, path: str, epoch_id: int, bucket=None
+) -> None:
     """Idempotent per-epoch write for foreachBatch sinks.
 
     foreachBatch is at-least-once: a crash between the sink write and the
@@ -53,27 +80,85 @@ def write_epoch_idempotent(df: DataFrame, path: str, epoch_id: int) -> None:
     data are touched), turning at-least-once delivery into effectively-
     once storage — the standard exactly-once recipe for foreachBatch
     parquet sinks.
+
+    ``bucket`` (a Column expression over the frame, e.g. a key prefix)
+    adds a LEADING ``bkt=<v>`` partition level under which the epoch
+    partitions nest. That is what makes per-micro-batch state reads
+    prunable: a later batch lists and reads ONLY the bucket directories
+    its own keys hash to (see :func:`read_index`), so per-batch I/O is
+    Θ(batch), not Θ(accumulated index). Replays stay idempotent — a
+    micro-batch's content is deterministic from the checkpoint, so the
+    replay writes the same (bkt, epoch) pairs and dynamic overwrite
+    touches exactly those.
     """
+    cols = ["epoch"]
+    if bucket is not None:
+        # repartition ON the bucket so each (bkt, epoch) partition is ONE
+        # file, not one per upstream task — without this a B-bucket × T-
+        # task batch writes B×T tiny files per epoch and the file count
+        # (not the data) becomes the per-batch cost. One batch-sized
+        # exchange on a 1-2 byte key.
+        df = df.withColumn("bkt", bucket).repartition("bkt")
+        cols = ["bkt", "epoch"]
     (
         df.withColumn("epoch", F.lit(int(epoch_id)))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("epoch")
+        .partitionBy(*cols)
         .parquet(path)
     )
 
 
-def read_index(spark, path: str, exclude_epoch: int | None = None) -> DataFrame:
-    """Read an epoch-partitioned index table, hiding the epoch column.
+def _existing_bucket_paths(spark, path: str, buckets: list) -> list[str]:
+    """The subset of ``<path>/bkt=<b>`` directories that exist, resolved
+    through ONE Hadoop globStatus call (remote schemes work; cost is one
+    listing of the index ROOT's direct children — bounded by the bucket
+    fan-out constant, independent of index size)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    glob = jvm.org.apache.hadoop.fs.Path(f"{path}/bkt=*")
+    statuses = fs.globStatus(glob)
+    if statuses is None:
+        return []
+    have = {st.getPath().getName() for st in statuses}
+    return [f"{path}/bkt={b}" for b in buckets if f"bkt={b}" in have]
+
+
+def read_index(
+    spark,
+    path: str,
+    exclude_epoch: int | None = None,
+    buckets: list | None = None,
+) -> DataFrame:
+    """Read an epoch-partitioned index table, hiding the partition columns.
 
     ``exclude_epoch`` drops one epoch's partition (partition-pruned scan):
     on a replayed micro-batch the index already holds the crashed
     attempt's own partition, which must not count as "old" data.
+
+    ``buckets`` (for indexes written with ``write_epoch_idempotent``'s
+    ``bucket=``) prunes the read to those ``bkt=`` directories — and the
+    pruning is at the LISTING level, not just the filter level: only the
+    probed directories are enumerated (explicit subpaths + ``basePath``),
+    so neither file listing nor row-group reads scale with the index.
+    The bucket list is a per-batch literal, the same recipe as the ANN
+    layout's partition-pruned probe (operators/ann_layout.py). Raises
+    (like a missing index does) when none of the probed buckets exist —
+    callers already treat a read failure as "no old state for this
+    batch", which is exactly the semantics.
     """
-    df = spark.read.parquet(path)
+    if buckets is not None:
+        sub = _existing_bucket_paths(spark, path, buckets)
+        if not sub:
+            raise FileNotFoundError(f"no probed buckets under {path}")
+        df = spark.read.option("basePath", path).parquet(*sub)
+    else:
+        df = spark.read.parquet(path)
     if exclude_epoch is not None:
         df = df.filter(F.col("epoch") != int(exclude_epoch))
-    return df.drop("epoch")
+    return df.drop("epoch", "bkt")
 
 
 def _merge_batch(
@@ -111,21 +196,25 @@ def _merge_batch(
     sets_new = shingle_sets(batch, id_col, text_col).persist()
     bands_new = lsh_bands(minhash_signatures(sets_new, num_hashes), num_hashes, bands).persist()
 
-    try:
-        bands_old = read_index(spark, bands_path, exclude_epoch=epoch_id)
-        sets_old = read_index(spark, sets_path, exclude_epoch=epoch_id)
-        have_index = True
-    except Exception:  # first batch: no index yet
-        have_index = False
-
     # new-vs-new pairs within this batch
     cands = candidate_pairs_from_bands(bands_new)
-    all_sets = sets_new
-    if have_index:
-        # new-vs-old: join on the bucket key — the index side is
-        # partitioned by (band_id, bh) at scale, so this prunes to
-        # matching buckets only. doc1 = old, doc2 = new (id order fixed
-        # afterwards by jaccard_verify's symmetric join).
+    try:
+        # new-vs-old: the band index is bucketed by a bh prefix, so only
+        # the bucket directories this batch's bands hash to are listed
+        # and read — per-batch I/O ∝ batch, not accumulated index. The
+        # bucket list is a per-batch literal (≤ _BH_BUCKETS values,
+        # collected from the already-persisted bands_new). doc1 = old,
+        # doc2 = new (id order fixed afterwards by jaccard_verify's
+        # symmetric join).
+        bh_bkts = [
+            r[0]
+            for r in bands_new.select(_bh_bucket(F.col("bh")).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        bands_old = read_index(
+            spark, bands_path, exclude_epoch=epoch_id, buckets=bh_bkts
+        )
         cross = (
             bands_new.alias("n")
             .join(
@@ -141,12 +230,45 @@ def _merge_batch(
             .distinct()
         )
         cands = cands.unionByName(cross).distinct()
+    except Exception:  # first batch / no overlapping buckets: no old cands
+        pass
+
+    cands = cands.persist()
+    all_sets = sets_new
+    try:
+        # the shingle index is only needed for the OLD side of verified
+        # candidates — prune its read to the doc-id buckets the candidate
+        # pairs actually touch (cands is LSH-survivor-sized, so the
+        # bucket collect is cheap; every old candidate doc is covered by
+        # construction since its bucket is derived from the pair row).
+        cand_bkts = [
+            r[0]
+            for r in cands.select(
+                F.explode(
+                    F.array(
+                        _doc_bucket(F.col("doc1")), _doc_bucket(F.col("doc2"))
+                    )
+                ).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        sets_old = read_index(
+            spark, sets_path, exclude_epoch=epoch_id, buckets=cand_bkts
+        )
         all_sets = sets_new.unionByName(sets_old)
+    except Exception:  # first batch / candidates all new-vs-new
+        pass
 
     verified = jaccard_verify(cands, all_sets, threshold)
     write_epoch_idempotent(verified, pairs_dir, epoch_id)
-    write_epoch_idempotent(bands_new, bands_path, epoch_id)
-    write_epoch_idempotent(sets_new, sets_path, epoch_id)
+    write_epoch_idempotent(
+        bands_new, bands_path, epoch_id, bucket=_bh_bucket(F.col("bh"))
+    )
+    write_epoch_idempotent(
+        sets_new, sets_path, epoch_id, bucket=_doc_bucket(F.col("doc"))
+    )
+    cands.unpersist()
     sets_new.unpersist()
     bands_new.unpersist()
 
@@ -222,17 +344,26 @@ def compact_index(spark, index_dir: str, partitions_per_table: int = 32) -> None
 
     ONLY run this with the stream stopped and its checkpoint fully
     committed (e.g. after an ``availableNow`` drain): compacting an epoch
-    that later replays would re-append those rows. At real scale this
-    would also `partitionBy(bh-prefix)` / bucket by the join key; run it
-    from a maintenance job, not the hot path.
+    that later replays would re-append those rows. The bucket level of
+    the layout (``bkt=``, what the per-batch pruned reads key on) is
+    REBUILT from the same key expressions the hot path writes with, so
+    compaction collapses epochs without breaking pruning. Run it from a
+    maintenance job, not the hot path.
     """
-    for sub, key in (("bands", "bh"), ("sets", "doc")):
+    for sub, key, bucket in (
+        ("bands", "bh", _bh_bucket(F.col("bh"))),
+        ("sets", "doc", _doc_bucket(F.col("doc"))),
+    ):
         path = os.path.join(index_dir, sub)
-        df = spark.read.parquet(path).drop("epoch")
+        df = spark.read.parquet(path).drop("epoch", "bkt")
         tmp = path + "__compacting"
         df.repartition(partitions_per_table, key).write.mode("overwrite").parquet(tmp)
-        compacted = spark.read.parquet(tmp).withColumn("epoch", F.lit(-1))
-        compacted.write.mode("overwrite").partitionBy("epoch").parquet(path)
+        compacted = (
+            spark.read.parquet(tmp)
+            .withColumn("bkt", bucket)
+            .withColumn("epoch", F.lit(-1))
+        )
+        compacted.write.mode("overwrite").partitionBy("bkt", "epoch").parquet(path)
         try:
             import shutil
 

@@ -7,8 +7,10 @@ signature index on the bucket key, cosine-verified, and appended to the
 index. A new vector is flagged against near-neighbors from ANY earlier
 batch at bucket-join cost, not corpus-scan cost.
 
-At 100 TB the index is partitioned by signature so the per-batch join is
-partition-pruned; state is storage-backed, never driver-resident.
+The index IS partitioned by signature (the ``bkt=`` level above the epoch
+partitions), and each micro-batch lists/reads only the signature buckets
+its own vectors hash to — per-batch I/O Θ(batch), not Θ(accumulated
+index). State is storage-backed, never driver-resident.
 """
 
 from __future__ import annotations
@@ -54,8 +56,17 @@ def _merge_batch(
 
     try:
         # exclude the current epoch: a replayed batch's own partial write
-        # must not count as "old" index data (see write_epoch_idempotent)
-        index = read_index(spark, index_dir, exclude_epoch=epoch_id)
+        # must not count as "old" index data (see write_epoch_idempotent).
+        # The index is bucketed by the signature (the join key; 2^planes
+        # values — at 100 TB bucket on a fixed-length sig prefix), so the
+        # read lists/reads ONLY the buckets this batch's signatures hit:
+        # per-batch I/O Θ(batch), not Θ(index).
+        sig_bkts = [
+            r[0] for r in tagged_new.select("sig").distinct().collect()
+        ]
+        index = read_index(
+            spark, index_dir, exclude_epoch=epoch_id, buckets=sig_bkts
+        )
         have_index = True
     except Exception:
         have_index = False
@@ -82,7 +93,9 @@ def _merge_batch(
 
     verified = cands.filter(F.col("cosine_sim") >= threshold).dropDuplicates(["id1", "id2"])
     write_epoch_idempotent(verified, pairs_dir, epoch_id)
-    write_epoch_idempotent(tagged_new, index_dir, epoch_id)
+    write_epoch_idempotent(
+        tagged_new, index_dir, epoch_id, bucket=F.col("sig")
+    )
     tagged_new.unpersist()
 
 

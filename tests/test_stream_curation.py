@@ -169,3 +169,101 @@ def test_stream_verdicts_consistent_with_batch_quality_model(spark, sf_smoke, tm
     a = sorted(tuple(r) for r in twin.select("doc_id", "quality_score", "pred_keep").collect())
     b = sorted(tuple(r) for r in direct.collect())
     assert a == b
+
+
+def test_state_index_reads_are_bucket_pruned(spark, sf_smoke, tmp_path):
+    """The r12 scale fix: per-micro-batch state reads must LIST AND READ
+    only the fp-prefix bucket directories the batch's own fingerprints
+    touch — files read ∝ batch buckets, never ∝ accumulated index size."""
+    from streaming_data_pipeline_capstone_spark.streaming.curation_stream import (
+        run_stream_curation_verdicts,
+    )
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        read_index,
+    )
+
+    docs, beta = _gate_fixture(spark, sf_smoke)
+    work = str(tmp_path / "work")
+    run_stream_curation_verdicts(spark, docs, beta, work, chunks=3).count()
+
+    fp_path = os.path.join(work, "state", "fp_min")
+    full = spark.read.parquet(fp_path)
+    all_files = set(full.inputFiles())
+    buckets = sorted(
+        r["bkt"] for r in full.select("bkt").distinct().collect()
+    )
+    assert len(buckets) > 4, "gate corpus must spread over many buckets"
+
+    probe = buckets[:2]
+    pruned = read_index(spark, fp_path, buckets=probe)
+    pruned_files = set(pruned.inputFiles())
+    # every listed file lives under a probed bucket dir, and the listing
+    # is a strict subset of the index — the Θ(batch) property
+    assert pruned_files
+    assert all(
+        any(f"/bkt={b}/" in f for b in probe) for f in pruned_files
+    )
+    assert len(pruned_files) < len(all_files)
+
+    # value correctness of the pruned read: identical to filtering the
+    # full index to the probed buckets
+    want = sorted(
+        tuple(r)
+        for r in full.filter(F.col("bkt").isin(probe))
+        .select("fp", "min_doc")
+        .collect()
+    )
+    got = sorted(tuple(r) for r in pruned.select("fp", "min_doc").collect())
+    assert got == want
+
+    # probing a bucket that doesn't exist alongside ones that do must not
+    # fail — it reads exactly the existing probed buckets; probing ONLY
+    # missing buckets raises (the callers' "no old state" path)
+    got2 = read_index(spark, fp_path, buckets=[probe[0], "zz"])
+    want2 = full.filter(F.col("bkt") == probe[0]).count()
+    assert got2.count() == want2
+    import pytest
+
+    with pytest.raises(Exception):
+        read_index(spark, fp_path, buckets=["zz"])
+
+
+def test_dedup_stream_index_reads_are_bucket_pruned(spark, tmp_path):
+    """Same Θ(batch) pin for the near-dup stream's band/shingle indexes."""
+    from streaming_data_pipeline_capstone_spark.sources.replay import (
+        replay_to_files,
+        stream_from_replay,
+    )
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        _bh_bucket,
+        _doc_bucket,
+        read_index,
+        streaming_minhash_dedup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong potions behind the old stone wall near the river"
+    )
+    rows = [(i, base + f" tail {i % 4}") for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    replay_dir = str(tmp_path / "replay")
+    schema = replay_to_files(docs, replay_dir, 3, order_col="doc_id")
+    q = streaming_minhash_dedup(
+        stream_from_replay(spark, replay_dir, schema),
+        str(tmp_path / "index"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    for sub in ("bands", "sets"):
+        path = str(tmp_path / "index" / sub)
+        full = spark.read.parquet(path)
+        buckets = [r["bkt"] for r in full.select("bkt").distinct().collect()]
+        assert len(buckets) >= 2, f"{sub}: need ≥2 buckets to show pruning"
+        probe = buckets[:1]
+        pruned_files = set(read_index(spark, path, buckets=probe).inputFiles())
+        assert pruned_files
+        assert all(f"/bkt={probe[0]}/" in f for f in pruned_files)
+        assert len(pruned_files) < len(set(full.inputFiles()))

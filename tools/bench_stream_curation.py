@@ -84,11 +84,113 @@ def run_stream_curation_bench(spark, sf_dir: str) -> dict:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def _phase_batch_times(progresses) -> list[float]:
+    """Per-micro-batch trigger-execution seconds (data batches only)."""
+    return [
+        p["durationMs"]["triggerExecution"] / 1000.0
+        for p in progresses
+        if p.get("numInputRows", 0) > 0
+    ]
+
+
+def run_stream_curation_scale_probe(spark, sf_dir: str) -> dict:
+    """The Θ(batch)-vs-Θ(history) probe (VERDICT r11 ask #1): drain a
+    DOUBLED corpus in two phases against one persistent fingerprint index
+    — phase 1 grows the index 0→N docs, phase 2 N→2N with identical
+    per-batch doc counts — and compare per-batch wall time. With the
+    bucket-pruned state reads, phase-2 batches join against only the
+    bucket slivers they touch, so per-batch cost stays flat as history
+    doubles; an unpruned implementation would re-read the whole index
+    every batch and phase 2 would climb."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    n_docs = docs.count()
+    shift = docs.agg({"doc_id": "max"}).collect()[0][0] + 1
+    from pyspark.sql import functions as F
+
+    doubled = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + F.lit(shift)).alias("doc_id"), "lang", "text"
+        )
+    )
+    beta = fit_quality_model(spark, sf_dir)
+
+    workdir = tempfile.mkdtemp(prefix="bench_stream_scale_")
+    try:
+        replay_dir = os.path.join(workdir, "replay")
+        schema = replay_to_files(
+            doubled, replay_dir, 2 * NUM_CHUNKS, order_col="doc_id"
+        )
+        # hide the back half (the shifted copy) for phase 1
+        hidden = os.path.join(workdir, "hidden")
+        os.makedirs(hidden)
+        back = [f"chunk={i:05d}" for i in range(NUM_CHUNKS, 2 * NUM_CHUNKS)]
+        for c in back:
+            shutil.move(os.path.join(replay_dir, c), os.path.join(hidden, c))
+
+        out_dir = os.path.join(workdir, "verdicts")
+        state_dir = os.path.join(workdir, "state")
+        ckpt = os.path.join(workdir, "ckpt")
+
+        def drain():
+            t0 = time.perf_counter()
+            q = start_verdict_stream(
+                stream_from_replay(spark, replay_dir, schema),
+                beta,
+                out_dir,
+                state_dir,
+                ckpt,
+            )
+            q.awaitTermination()
+            return time.perf_counter() - t0, _phase_batch_times(q.recentProgress)
+
+        e1, t1 = drain()
+        for c in back:
+            shutil.move(os.path.join(hidden, c), os.path.join(replay_dir, c))
+        e2, t2 = drain()
+        assert read_index(spark, out_dir).count() == 2 * n_docs
+
+        mean1 = sum(t1) / max(len(t1), 1)
+        mean2 = sum(t2) / max(len(t2), 1)
+        return {
+            "metric": "stream_curation_scale_probe",
+            "unit": "sec_per_batch",
+            "value": round(mean2 / mean1, 3),
+            "note": (
+                "value = phase2/phase1 mean per-batch seconds; phase 2 "
+                "ingests the same per-batch doc count against an index "
+                "holding the full phase-1 corpus — ~1.0 means per-batch "
+                "cost is flat in history (bucket-pruned state reads)"
+            ),
+            "docs_per_phase": n_docs,
+            "batches_per_phase": NUM_CHUNKS,
+            "phase1": {
+                "elapsed_sec": round(e1, 3),
+                "mean_batch_sec": round(mean1, 3),
+                "batch_sec": [round(x, 3) for x in t1],
+            },
+            "phase2": {
+                "elapsed_sec": round(e2, 3),
+                "mean_batch_sec": round(mean2, 3),
+                "batch_sec": [round(x, 3) for x in t2],
+            },
+            "sf_dir": sf_dir,
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench-stream-curation")
     spark.range(1).count()
-    print(json.dumps(run_stream_curation_bench(spark, sf_dir)))
+    if "--scale-probe" in sys.argv:
+        print(json.dumps(run_stream_curation_scale_probe(spark, sf_dir)))
+    else:
+        print(json.dumps(run_stream_curation_bench(spark, sf_dir)))
     spark.stop()
 
 
