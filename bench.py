@@ -90,11 +90,13 @@ BENCH_QUERIES = [
     # NOTE: totals grew again; compare per-query across rounds.
     "mixture_dsir_weights",          # DSIR: broadcast hashed-ngram ratio table + doc rollup
     "quality_classifier_trained",    # damped-IRLS train + held-out score, end to end
-    # round-11 additions (VERDICT r10 ask #2): the two operators r10
-    # shipped with oracles but no bench rows. NOTE: totals grew again;
-    # compare per-query across rounds.
+    # round-11 backfills (VERDICT r10 ask #2): the two operators r10
+    # shipped with oracles but no bench rows. NOTE: totals grew; compare
+    # per-query across rounds.
     "pipeline_curation_dsir",        # funnel -> DSIR weights -> Gumbel-top-k -> pack
     "text_dup_spans_strip_hashed",   # hashed-window span strip (production twin)
+    # operators NEW in round 11, benched from birth. NOTE: totals grew
+    # again; compare per-query across rounds.
     "quality_lm_perplexity",         # stupid-backoff trigram LM doc scoring
     "text_bm25_topk",                # pre-filtered BM25 top-k
     "retrieval_hybrid_rrf",          # dense + sparse reciprocal rank fusion

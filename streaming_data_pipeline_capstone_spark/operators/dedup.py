@@ -208,7 +208,12 @@ def minhash_lsh_dedup(
             .agg(F.min(id_col).alias(id_col))
         )
         df = df.join(reps, id_col, "left_semi")
-    sets_df = shingle_sets(df, id_col, text_col, shingle_n).persist()
+    # scoped (registry-released) persist: the returned lazy frame reads
+    # sets_df twice (signature chain + exact verify), but this function
+    # returns before materialization so it cannot unpersist itself
+    from streaming_data_pipeline_capstone_spark.cache import scoped_persist
+
+    sets_df = scoped_persist(shingle_sets(df, id_col, text_col, shingle_n))
     sigs = minhash_signatures(sets_df, num_hashes)
     cands = candidate_pairs_from_bands(lsh_bands(sigs, num_hashes, bands))
     return jaccard_verify(cands, sets_df, threshold)
@@ -223,7 +228,9 @@ def ngram_jaccard_pairs(
     shingle); exact for validation, O(pairs-sharing-a-shingle) at scale —
     prefer minhash_lsh_dedup beyond small corpora.
     """
-    sets_df = shingle_sets(df, id_col, text_col, shingle_n).persist()
+    from streaming_data_pipeline_capstone_spark.cache import scoped_persist
+
+    sets_df = scoped_persist(shingle_sets(df, id_col, text_col, shingle_n))
     inv = sets_df.select("doc", F.explode("shingles").alias("sh"))
     # |A ∩ B| = number of inverted-index buckets both docs occupy: count
     # pair instances instead of re-intersecting shingle arrays per pair.
@@ -302,11 +309,35 @@ def connected_components(
     # join-tree per round and re-analysis dominates after ~5 rounds. On a
     # cluster with lineage-recovery requirements use reliable checkpoint
     # (spark.sparkContext.setCheckpointDir + .checkpoint()) instead.
+    #
+    # Checkpoint-block hygiene (r11 ADVICE sweep): each round's
+    # localCheckpoint pins its blocks in executor storage and nothing
+    # unpins them — a 10-round run on a long-lived session leaks 10
+    # label-table copies. Once round i's checkpoint is materialized (the
+    # convergence count below), round i−1's blocks can never be read
+    # again, so they are released precisely then; the FINAL round's
+    # blocks back the returned frame, so they are scoped to the registry
+    # boundary instead (cache.scope_checkpoints — freed when the next
+    # query builds, by which point sequential callers have consumed the
+    # result).
+    sc = pairs.sparkSession.sparkContext
+
+    def _ckpt_rdds() -> dict:
+        m = sc._jsc.getPersistentRDDs()
+        out = {}
+        for i in m.keySet().toArray():
+            r = m.get(i)
+            if "localCheckpoint" in r.toString():
+                out[i] = r
+        return out
+
+    seen_before = set(_ckpt_rdds())
     labels = (
         edges.groupBy("a").agg(F.min("b").alias("nb"))
         .select("a", F.least("a", "nb").alias("label"))
         .localCheckpoint(eager=False)
     )
+    prev_round: dict = {}
     # Convergence = "no label changed this round", checked type-agnostically
     # by carrying the round-start label through the step and counting rows
     # where it differs afterwards (works for string ids too — a sum-based
@@ -334,8 +365,21 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         n_changed = labels.filter(F.col("label") != F.col("__prev")).count()
+        # this round's checkpoint is now materialized: the previous
+        # round's blocks are unreachable — free them
+        now = _ckpt_rdds()
+        this_round = {
+            i: r for i, r in now.items() if i not in seen_before
+        }
+        for r in prev_round.values():
+            r.unpersist(False)
+        seen_before |= set(this_round)
+        prev_round = this_round
         labels = labels.drop("__prev")
         if n_changed == 0:
             break
     edges.unpersist()
+    from streaming_data_pipeline_capstone_spark.cache import scope_checkpoints
+
+    scope_checkpoints(prev_round.values())
     return labels.select(F.col("a").alias("node"), F.col("label").alias("component"))

@@ -176,8 +176,10 @@ def decontam_ngram_overlap_w8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # w8 query, so the registered oracle is the SAME exact SQL — a hash match
 # certifies that the prefilter dropped nothing it shouldn't (the bitmap
 # math is only a performance device, never a semantics device).
+# 2^20 bits packed 64 per bigint word → (1 << _BLOOM_BITS_LOG2) / 64 =
+# 16,384 words ≈ 128 KiB broadcast (the figure quoted in the docstrings
+# below derives from this constant alone)
 _BLOOM_BITS_LOG2 = 20
-_BLOOM_WORDS = (1 << _BLOOM_BITS_LOG2) // 64
 
 
 def _gram_bit_cols() -> tuple[F.Column, F.Column]:
@@ -1272,12 +1274,15 @@ def curation_funnel_bins(
     # verdicts are checkpointed parquet between jobs (demonstrated by
     # plans/curation_ckpt.py, pinned row-identical to this query).
     #
-    # The count() populates the cache EAGERLY: without it, the
+    # The eager flag populates the cache immediately: without it, the
     # bucket-offsets broadcast job and the main stages race to
     # materialize the same InMemoryRelation and the survivor chain can
     # execute twice concurrently (measured: up to 2x wall at sf1).
-    surv = surv.persist()
-    surv.count()
+    # scoped_persist: released when the next registry query builds, so a
+    # long-lived session doesn't accumulate survivor caches (r11 ask #7).
+    from streaming_data_pipeline_capstone_spark.cache import scoped_persist
+
+    surv = scoped_persist(surv, eager=True)
     # bucket width derives from the base table's doc_id bounds (a cheap
     # 1-column scan), NOT the survivor frame — bounds from survivors would
     # re-run the whole dedup/quality/decontam chain just to size buckets.
@@ -1448,8 +1453,10 @@ def dsir_curation_bins(
     sel = _dsir_selected_survivors(spark, sf_dir, plant=plant)
     # the selected set is k rows; persist so the pack's two prefix-sum
     # passes read it instead of re-running the funnel + weights chain
-    sel = sel.persist()
-    sel.count()
+    # (scoped: the registry releases it when the next query builds)
+    from streaming_data_pipeline_capstone_spark.cache import scoped_persist
+
+    sel = scoped_persist(sel, eager=True)
     binned = _pack_bins(sel, _doc_bucket_width(spark, sf_dir))
     return binned.groupBy("lang", "bin_id").agg(
         F.count("*").alias("n_docs"),

@@ -164,6 +164,16 @@ def _lm_score_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_tok") + F.col("v_tok"))
         )
     )
+    # Cross-engine determinism caveat (documented, not merely assumed):
+    # s is an exact double ratio of integer counts, identical in both
+    # engines, but ln(s) is computed independently by the JVM and DuckDB
+    # libm. Both are correctly-rounded to ≤1 ulp, so lp_micro can only
+    # flip if ln(s)·1e6 lands within ~1 ulp of a .5 boundary — for
+    # |ln s| ≤ ~20 that window is ~4e-10 wide per boundary, i.e. a ~1e-9
+    # chance per distinct trigram TYPE. All gate corpora verify
+    # bit-identical. If a flake ever appears, derive lp_micro from the
+    # integer counts via a shared fixed-point log (the
+    # mixture_dsir_weights convention has the same latent fragility).
     return scored.select(
         "g3", F.round(F.log(s) * _MICRO, 0).cast("bigint").alias("lp_micro")
     )
@@ -312,14 +322,17 @@ def quality_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bins frame feeds BOTH the histogram and the final bucket
     # assignment; persist it so the expensive NLL chain (count-table
     # joins + doc rollup) executes once, not once per consumer — the
-    # same eager-reuse convention as the DSIR funnel's survivor frame
-    b = (
-        _doc_nll(spark, sf_dir)
-        .select(
+    # same eager-reuse convention as the DSIR funnel's survivor frame.
+    # scoped_persist (not bare persist): the returned frame still reads
+    # this cache, so the registry releases it when the NEXT query builds
+    # — no storage accumulates across a long-lived session (r11 ADVICE).
+    from streaming_data_pipeline_capstone_spark.cache import scoped_persist
+
+    b = scoped_persist(
+        _doc_nll(spark, sf_dir).select(
             "doc_id",
             F.expr(f"(nll_micro DIV n_tri) DIV {_BIN}").alias("bin"),
         )
-        .persist()
     )
     hist = b.groupBy("bin").agg(F.count("*").alias("n"))
     w_ord = Window.partitionBy(F.lit(1)).orderBy("bin")

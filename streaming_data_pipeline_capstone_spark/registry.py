@@ -24,10 +24,25 @@ ORACLES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: add a query (and optionally its DuckDB oracle) to the registry."""
+    """Decorator: add a query (and optionally its DuckDB oracle) to the registry.
+
+    The registered callable releases every scoped-persisted frame from
+    EARLIER queries before building its own (see cache.py) — a session
+    that runs the registry sequentially holds at most one query's cached
+    intermediates at a time, instead of accumulating them forever. The
+    undecorated function stays importable for direct composition."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        import functools
+
+        from streaming_data_pipeline_capstone_spark.cache import release_scoped
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_scoped()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

@@ -20,3 +20,26 @@ def test_every_query_has_an_oracle():
     design — none currently are; update this pin if one ever is)."""
     qs, oracles = registry.all_queries(), registry.all_oracles()
     assert set(qs) == set(oracles)
+
+
+def test_scoped_persists_release_zero_storage(spark, sf_smoke):
+    """The r11 ADVICE leak: queries whose returned frame depends on a
+    persisted intermediate (LM buckets, DSIR funnels, minhash dedup) must
+    not accumulate executor storage across a long-lived session. Running
+    each through the registry releases the previous query's caches, and a
+    final release leaves ZERO persistent RDDs."""
+    from streaming_data_pipeline_capstone_spark.cache import release_scoped
+
+    qs = registry.all_queries()
+    release_scoped()
+    spark.catalog.clearCache()
+    for name in (
+        "quality_lm_ppl_buckets",
+        "pipeline_curation_dsir",
+        "dedup_minhash_lsh",
+        "pipeline_curation_full",
+    ):
+        qs[name](spark, sf_smoke).count()
+    release_scoped()
+    leaked = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    assert leaked.size() == 0, f"leaked {leaked.size()} persistent RDDs"

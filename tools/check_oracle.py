@@ -82,8 +82,11 @@ def main() -> int:
 
     n_pass = n_fail = n_weak = 0
     report: dict[str, dict] = {}
+    from streaming_data_pipeline_capstone_spark.cache import release_scoped
+
     for name in names:
         t0 = time.time()
+        release_scoped()  # free the previous query's scoped caches
         try:
             sdf = qs[name](spark, args.sf_dir).toPandas()
         except Exception as ex:  # noqa: BLE001
@@ -126,6 +129,7 @@ def main() -> int:
             report[name] = {"status": "pass", "rows": len(sdf), "secs": secs}
             n_pass += 1
 
+    release_scoped()  # free the last query's scoped caches
     print(f"\n{n_pass} pass, {n_weak} weak (no oracle), {n_fail} fail")
     if args.json_path:
         artifact = {
