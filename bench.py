@@ -100,6 +100,10 @@ BENCH_QUERIES = [
     "quality_lm_perplexity",         # stupid-backoff trigram LM doc scoring
     "text_bm25_topk",                # pre-filtered BM25 top-k
     "retrieval_hybrid_rrf",          # dense + sparse reciprocal rank fusion
+    # operators NEW in round 12, benched from birth. NOTE: totals grew
+    # again; compare per-query across rounds.
+    "text_bm25_multi_topk",          # 3-query batch BM25, per-query rank window
+    "corpus_health_lm_by_source",    # per-source CCNet bucket distribution
 ]
 
 WARM_COLD_TOL = 1.25  # warm may exceed cold by noise, not by 25%
@@ -223,7 +227,10 @@ def main() -> None:
     ap.add_argument(
         "--legs",
         type=int,
-        default=int(os.environ.get("SPARK_GRAFT_BENCH_LEGS", "2")),
+        # 3 since r12 (VERDICT r11 ask #6): with 2 legs one loaded leg
+        # leaves a single sample; 3 gives a meaningful median for the
+        # streaming rates and per-query medians alongside the minima
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_LEGS", "3")),
         help="independent fresh-JVM legs; reported numbers are per-query minima",
     )
     ap.add_argument("--leg", action="store_true", help=argparse.SUPPRESS)
@@ -251,12 +258,33 @@ def main() -> None:
         for n in names
     }
 
-    # Streaming: take the leg with the highest ingest rate (load only ever
-    # slows a leg down), keep every leg's rate for the spread story.
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
+    warm_median = {
+        n: round(_median([leg["queries"][n] for leg in legs]), 3) for n in names
+    }
+
+    # Streaming: report the MEDIAN rate across legs (r12, VERDICT r11 ask
+    # #6 — the max let one lucky leg define two rounds of drift; the
+    # median is what a third leg actually stabilizes). Every leg's rate
+    # is still recorded, and the max kept alongside for r11 continuity.
     stream_legs = [leg["streaming"] for leg in legs]
     rated = [s for s in stream_legs if isinstance(s.get("value"), (int, float))]
-    streaming = max(rated, key=lambda s: s["value"]) if rated else stream_legs[0]
-    streaming = dict(streaming)
+    streaming = dict(max(rated, key=lambda s: s["value"])) if rated else dict(stream_legs[0])
+    if rated:
+        streaming["value_max_leg"] = streaming["value"]
+        streaming["value"] = round(_median([s["value"] for s in rated]), 1)
+    stateful_rates = [
+        s.get("stateful_last3_rate")
+        for s in stream_legs
+        if isinstance(s.get("stateful_last3_rate"), (int, float))
+    ]
+    if stateful_rates:
+        streaming["stateful_last3_rate_max_leg"] = max(stateful_rates)
+        streaming["stateful_last3_rate"] = round(_median(stateful_rates), 1)
     streaming["per_leg_rates"] = [s.get("value") for s in stream_legs]
     streaming["per_leg_stateful_rates"] = [
         s.get("stateful_last3_rate") for s in stream_legs
@@ -275,6 +303,7 @@ def main() -> None:
     # sidecar carries legs, cold samples, spreads, and the streaming detail.
     detail = {
         "queries_cold": cold,
+        "queries_median": warm_median,
         "streaming": streaming,
         "legs": [
             {
@@ -295,7 +324,8 @@ def main() -> None:
             "min-of-2 warm per query, clearCache between queries); "
             "per-leg gate warm_total<=cold_total and per-query warm<="
             "1.25x cold, one retry on violation; reported query time = "
-            "min across legs, streaming rate = max across legs; "
+            "min across legs (medians in queries_median), streaming rate "
+            "= median across legs since r12 (max kept as value_max_leg); "
             "per-leg samples + spread recorded here"
         ),
     }
@@ -328,9 +358,13 @@ def main() -> None:
                     "suite +pipeline_curation_full since r8, "
                     "+sim_topk_ivfpq_rerank_pruned +mixture_dsir_weights "
                     "+quality_classifier_trained since r9 (compare "
-                    "per-query across rounds, not totals)"
+                    "per-query across rounds, not totals); legs_n=3 and "
+                    "streaming/stateful rates = 3-leg MEDIAN since r12 "
+                    "(r11 and earlier reported the max leg — compare "
+                    "against streaming.value_max_leg in the detail)"
                 ),
                 "queries": warm,
+                "queries_median": warm_median,
                 "cold_total": round(sum(cold.values()), 3),
                 "streaming_rate": streaming.get("value"),
                 "stateful_rate": streaming.get("stateful_last3_rate"),

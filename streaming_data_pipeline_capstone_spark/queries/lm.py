@@ -68,11 +68,18 @@ _MICRO = 1_000_000      # integer micro-nats fixed point (DSIR convention)
 _BIN = 1_000            # bucket histogram bin width: milli-nats of mean NLL
 
 
-def _grams_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, is_ref, t) with t the normalized whitespace tokens."""
+def _grams_df(
+    spark: SparkSession, sf_dir: str, extra: tuple = ()
+) -> DataFrame:
+    """(doc_id, *extra, is_ref, t) with t the normalized whitespace
+    tokens; ``extra`` names further document columns to carry (e.g.
+    ``source`` for per-source rollups — riding the existing doc-keyed
+    frames costs nothing, a separate doc→source join would be one more
+    corpus-sized exchange)."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
+        *extra,
         (F.col("doc_id") % _EVAL_MOD == 0).alias("is_ref"),
         tokens("text").alias("t"),
     )
@@ -179,16 +186,20 @@ def _lm_score_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_tri, nll_micro): per scored doc, trigram count and the
-    integer micro-nat negative-log-likelihood total."""
-    base = _grams_df(spark, sf_dir)
+def _doc_nll(
+    spark: SparkSession, sf_dir: str, extra: tuple = ()
+) -> DataFrame:
+    """(doc_id, *extra, n_tri, nll_micro): per scored doc, trigram count
+    and the integer micro-nat negative-log-likelihood total. ``extra``
+    document columns ride the occurrence frame and the rollup key
+    (doc_id determines them, so the grouping is unchanged)."""
+    base = _grams_df(spark, sf_dir, extra)
     occ = base.filter(~F.col("is_ref")).select(
-        "doc_id", F.explode(_ngram_col(F.col("t"), 3)).alias("g3")
+        "doc_id", *extra, F.explode(_ngram_col(F.col("t"), 3)).alias("g3")
     )
     return (
         occ.join(_lm_score_table(spark, sf_dir), "g3")
-        .groupBy("doc_id")
+        .groupBy("doc_id", *extra)
         .agg(
             F.count("*").alias("n_tri"),
             (-F.sum("lp_micro")).alias("nll_micro"),
@@ -319,6 +330,18 @@ def quality_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative window runs on a metadata-sized frame and the ≤1-row cuts
     frame broadcasts back onto the per-doc stream — zero corpus-sized
     exchanges beyond the NLL rollup itself."""
+    return _bucketed_docs(spark, sf_dir).select(
+        "doc_id", "mean_nll_milli_bin", "bucket"
+    )
+
+
+def _bucketed_docs(
+    spark: SparkSession, sf_dir: str, extra: tuple = ()
+) -> DataFrame:
+    """(doc_id, *extra, mean_nll_milli_bin, bucket): the shared CCNet
+    bucket-assignment chain behind quality_lm_ppl_buckets and the
+    per-source health rollup. One definition, so the two queries cannot
+    drift (also pinned by tests/test_lm.py's consistency check)."""
     # the bins frame feeds BOTH the histogram and the final bucket
     # assignment; persist it so the expensive NLL chain (count-table
     # joins + doc rollup) executes once, not once per consumer — the
@@ -329,11 +352,18 @@ def quality_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_pipeline_capstone_spark.cache import scoped_persist
 
     b = scoped_persist(
-        _doc_nll(spark, sf_dir).select(
+        _doc_nll(spark, sf_dir, extra).select(
             "doc_id",
+            *extra,
             F.expr(f"(nll_micro DIV n_tri) DIV {_BIN}").alias("bin"),
         )
     )
+    # Window.partitionBy(lit(1)): Catalyst folds the constant into an
+    # empty partition spec, so Spark logs its "No Partition Defined"
+    # warning — DELIBERATE here: hist is the bounded milli-nat histogram
+    # (≤ ~20k rows at any corpus size), the single partition is the
+    # point, and the warning does not indicate an unpartitioned window
+    # over corpus-sized data.
     hist = b.groupBy("bin").agg(F.count("*").alias("n"))
     w_ord = Window.partitionBy(F.lit(1)).orderBy("bin")
     w_all = Window.partitionBy(F.lit(1))
@@ -350,9 +380,99 @@ def quality_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return b.crossJoin(F.broadcast(cuts)).select(
         "doc_id",
+        *extra,
         F.col("bin").alias("mean_nll_milli_bin"),
         F.when(F.col("bin") <= F.col("t1"), "head")
         .when(F.col("bin") <= F.col("t2"), "middle")
         .otherwise("tail")
         .alias("bucket"),
+    )
+
+
+# the oracle's bucket-labelled doc frame with source carried — shared by
+# the per-source health rollup below (join to documents recovers source;
+# the Spark side instead rides source through the existing doc-keyed
+# rollup, costing zero extra corpus exchanges)
+_LM_LABELED_CTES = f"""
+    {_LM_CTES},
+    b AS (
+      SELECT doc_id, (nll_micro // n_tri) // {_BIN} AS bin
+      FROM nll
+    ),
+    hist AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+    cum AS (
+      SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum_n,
+             SUM(n) OVER () AS tot_n
+      FROM hist
+    ),
+    cuts AS (
+      SELECT MIN(CASE WHEN 3 * cum_n >= tot_n THEN bin END) AS t1,
+             MIN(CASE WHEN 3 * cum_n >= 2 * tot_n THEN bin END) AS t2
+      FROM cum
+    ),
+    lab AS (
+      SELECT doc_id, source,
+             CASE WHEN bin <= t1 THEN 'head'
+                  WHEN bin <= t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM b JOIN documents USING (doc_id), cuts
+    )
+"""
+
+
+@register(
+    "corpus_health_lm_by_source",
+    f"""
+    WITH {_LM_LABELED_CTES}
+    SELECT source,
+           count(*) AS n_scored,
+           CAST(SUM(CASE WHEN bucket = 'head' THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+           CAST(SUM(CASE WHEN bucket = 'middle' THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
+           CAST(SUM(CASE WHEN bucket = 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+           round(CAST(SUM(CASE WHEN bucket = 'head' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS frac_head,
+           round(CAST(SUM(CASE WHEN bucket = 'middle' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS frac_middle,
+           round(CAST(SUM(CASE WHEN bucket = 'tail' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS frac_tail
+    FROM lab GROUP BY source
+    """,
+)
+def corpus_health_lm_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source LM-quality distribution (VERDICT r11 ask #5): what
+    fraction of each ingest source's scored documents land in the CCNet
+    head/middle/tail perplexity buckets — the fluency counterpart to
+    corpus_health_by_source's rule pass-rates (a source whose tail share
+    climbs is degrading even while it passes every composite rule).
+
+    100 TB shape: the bucket chain is quality_lm_ppl_buckets' plan with
+    ``source`` riding the existing doc-keyed occurrence frame and rollup
+    (zero additional corpus-sized exchanges — no doc→source join), then
+    ONE exchange on the low-cardinality source key with map-side combine.
+    Consistency with the standalone bucket query is structural (shared
+    ``_bucketed_docs`` chain) and pinned by tests/test_lm.py."""
+    lab = _bucketed_docs(spark, sf_dir, extra=("source",))
+
+    def _n(bucket: str, alias: str) -> F.Column:
+        return (
+            F.sum(F.when(F.col("bucket") == bucket, 1).otherwise(0))
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    def _frac(bucket: str, alias: str) -> F.Column:
+        return F.round(
+            F.sum(F.when(F.col("bucket") == bucket, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias(alias)
+
+    return lab.groupBy("source").agg(
+        F.count("*").alias("n_scored"),
+        _n("head", "n_head"),
+        _n("middle", "n_middle"),
+        _n("tail", "n_tail"),
+        _frac("head", "frac_head"),
+        _frac("middle", "frac_middle"),
+        _frac("tail", "frac_tail"),
     )

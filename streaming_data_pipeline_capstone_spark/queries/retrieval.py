@@ -264,3 +264,132 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_micro"), F.asc("id"))
         .limit(_TOPK)
     )
+
+
+# -- multi-query BM25: the production decontamination-lookup shape ----------
+# One literal query is a demo; the production shape (decontamination
+# lookups against an eval suite, corpus search for a probe list) scores
+# MANY queries in one pass. The plan generalizes, not duplicates:
+#
+# - the corpus-side prefilter is the UNION of all queries' terms — still
+#   one literal IN-list inside the scan's codegen span, so the only
+#   corpus-sized exchange carries occurrences of that union;
+# - a (query_id, term) frame (model metadata, broadcast) fans each
+#   surviving (doc, term) tf row out to the queries containing the term;
+# - df/IDF stays PER TERM (query-independent), so the single-query slice
+#   is bit-identical to text_bm25_topk — pinned in tests;
+# - top-k per query = rank window PARTITIONED BY query_id: adding queries
+#   adds partitions, not passes; within a query the window input is the
+#   term-occurrence-bounded candidate set, never the corpus.
+
+_MULTI_QUERIES: dict[int, list[str]] = {
+    0: _QUERY_TERMS,                           # the standing demo query
+    1: ["dup", "merge", "sort"],               # includes the rarest term
+    2: ["stream", "batch", "query", "vector", "key"],
+}
+
+
+def _multi_terms() -> list[str]:
+    return sorted({t for ts in _MULTI_QUERIES.values() for t in ts})
+
+
+def _bm25_multi_oracle(topk: int) -> str:
+    qrows = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in sorted(_MULTI_QUERIES.items()) for t in ts
+    )
+    return f"""
+    WITH {_bm25_ctes(_multi_terms())},
+    q(query_id, term) AS (VALUES {qrows}),
+    qcontrib AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(round(idf.idf * (tf.tf * {_K1 + 1.0})
+                  / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * CAST(lens.dl AS DOUBLE) / idf.avgdl))
+                  * {_MICRO}.0, 0) AS BIGINT) AS c_micro
+      FROM tf JOIN q USING (term) JOIN idf USING (term) JOIN lens USING (doc_id)
+    ),
+    qbm AS (
+      SELECT query_id, doc_id, CAST(SUM(c_micro) AS BIGINT) AS score_micro
+      FROM qcontrib GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score_micro,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+      FROM qbm
+    )
+    SELECT query_id, doc_id, score_micro, rank
+    FROM ranked WHERE rank <= {topk}
+    """
+
+
+@register("text_bm25_multi_topk", _bm25_multi_oracle(_TOPK))
+def text_bm25_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents per query for the standing 3-query batch (scores
+    integer micro-units, per-query rank with doc_id tiebreak)."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("t")
+    )
+    lens = docs.select("doc_id", F.size("t").alias("dl"))
+    stats = lens.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    all_terms = _multi_terms()
+    tf = (
+        docs.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "avgdl",
+            F.log(
+                1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(_MULTI_QUERIES.items()) for t in ts],
+        "query_id int, term string",
+    )
+    contrib = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(idf), "term")
+        .join(lens, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _K1
+                    * (1.0 - _B + _B * F.col("dl").cast("double") / F.col("avgdl"))
+                )
+                * _MICRO,
+                0,
+            )
+            .cast("bigint")
+            .alias("c_micro"),
+        )
+    )
+    scores = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c_micro").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "doc_id", "score_micro", "rank")
+    )

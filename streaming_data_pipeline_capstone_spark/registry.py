@@ -95,6 +95,9 @@ def _load_all() -> None:
 # the r10 stream_curation_verdicts delivery gap hid behind exactly that
 # tolerance.
 _SAMPLE_FIRST = [
+    # new in r12
+    "text_bm25_multi_topk",
+    "corpus_health_lm_by_source",
     # new in r11
     "stream_curation_verdicts",
     "sim_topk_ivfpq_rerank_spill",

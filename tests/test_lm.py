@@ -132,3 +132,43 @@ def test_lm_scores_cover_all_branches(spark, sf_oracle):
         .count(),
     )
     assert all(c > 0 for c in branch), branch
+
+
+def test_lm_health_by_source_consistent_with_standalone_buckets(spark, sf_oracle):
+    """corpus_health_lm_by_source must be EXACTLY the per-source rollup of
+    quality_lm_ppl_buckets' doc-level assignments (joined to documents for
+    source) — the source column riding the NLL rollup may not perturb a
+    single bucket, count, or rounded fraction."""
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    qs = all_queries()
+    lab = (
+        qs["quality_lm_ppl_buckets"](spark, sf_oracle)
+        .join(
+            read_table(spark, sf_oracle, "documents").select("doc_id", "source"),
+            "doc_id",
+        )
+        .collect()
+    )
+    want: dict[str, dict[str, int]] = {}
+    for r in lab:
+        d = want.setdefault(r["source"], {"head": 0, "middle": 0, "tail": 0})
+        d[r["bucket"]] += 1
+    got = {
+        r["source"]: r for r in qs["corpus_health_lm_by_source"](spark, sf_oracle).collect()
+    }
+    assert set(got) == set(want)
+    for src, d in want.items():
+        n = sum(d.values())
+        g = got[src]
+        assert (g["n_scored"], g["n_head"], g["n_middle"], g["n_tail"]) == (
+            n, d["head"], d["middle"], d["tail"],
+        )
+        assert g["frac_head"] == round(d["head"] / n, 6)
+        assert g["frac_middle"] == round(d["middle"] / n, 6)
+        assert g["frac_tail"] == round(d["tail"] / n, 6)
+    # non-vacuity: more than one source, and at least one source has a
+    # nonzero share in every bucket class somewhere in the rollup
+    assert len(want) > 1
+    assert any(d["head"] for d in want.values())
+    assert any(d["tail"] for d in want.values())

@@ -41,7 +41,9 @@ BNLJ_OK = {
     "text_idf_profile",  # crossJoin against the broadcast 1-row corpus count
     "quality_lm_perplexity",  # crossJoin against the broadcast 1-row (N, V) frame
     "quality_lm_ppl_buckets",  # same, plus the broadcast <=1-row cuts frame
+    "corpus_health_lm_by_source",  # the bucket chain's broadcast frames
     "text_bm25_topk",  # crossJoin against the broadcast 1-row (N, avgdl) frame
+    "text_bm25_multi_topk",  # same broadcast stats frame
     "retrieval_hybrid_rrf",  # same, plus the broadcast 1-row query vector
 }
 
@@ -120,6 +122,9 @@ SHUFFLE_BUDGET = {
     # same chain persisted once (plan_audit dedups the cached block) +
     # the metadata-sized histogram/cumsum exchanges + broadcast cuts
     "quality_lm_ppl_buckets": 9,
+    # the bucket chain with source riding the doc rollup (no extra
+    # corpus exchange) + ONE exchange on the low-cardinality source key
+    "corpus_health_lm_by_source": 10,
     "rollup_events_multires": 2,  # 1-min grain agg + 5-min cascade: two keyed exchanges
     "scalar_affine_pixel": 0,
     "scalar_clean_filter": 0,
@@ -152,6 +157,10 @@ SHUFFLE_BUDGET = {
     # BM25: query-term IN-filter BEFORE the (doc,term) exchange, |Q|-row
     # IDF agg, broadcast joins, TakeOrderedAndProject top-k
     "text_bm25_topk": 5,
+    # the multi-query twin: same pre-filtered plan over the UNION of all
+    # queries' terms + ONE extra exchange for the per-query rank window
+    # (partitioned by query_id — more queries add partitions, not passes)
+    "text_bm25_multi_topk": 6,
     # RRF: BM25's plan + dense TakeOrdered candidate gen; the fusion
     # windows/outer-join run on <=50-row frames
     "retrieval_hybrid_rrf": 5,
@@ -221,7 +230,9 @@ MUST_PUSH_FILTER = {
     "pipeline_preprocess_full",
     "quality_lm_perplexity",  # IsNotNull(text) reaches every documents scan
     "quality_lm_ppl_buckets",
+    "corpus_health_lm_by_source",
     "text_bm25_topk",
+    "text_bm25_multi_topk",
     "retrieval_hybrid_rrf",
     "rollup_events_multires",
     "scalar_clean_filter",

@@ -122,3 +122,48 @@ def test_rrf_fusion_matches_python_recompute(spark, sf_oracle):
         for r in qs["retrieval_hybrid_rrf"](spark, sf_oracle).collect()
     ]
     assert got == want
+
+
+def test_bm25_multi_single_query_slice_pins_to_standing_query(spark, sf_oracle):
+    """The multi-query plan must be a GENERALIZATION, not a fork: its
+    query_id=0 slice (the standing 4-term query) must match
+    text_bm25_topk doc-for-doc and micro-score-for-micro-score — the
+    union-term prefilter and the query fan-out join may not perturb tf,
+    df, idf, or rounding."""
+    qs = all_queries()
+    single = [
+        (r["doc_id"], r["score_micro"])
+        for r in qs["text_bm25_topk"](spark, sf_oracle)
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .collect()
+    ]
+    multi = [
+        (r["doc_id"], r["score_micro"])
+        for r in qs["text_bm25_multi_topk"](spark, sf_oracle)
+        .filter(F.col("query_id") == 0)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert multi == single
+
+
+def test_bm25_multi_queries_non_vacuous(spark, sf_oracle):
+    """Every query in the standing batch must retrieve a full top-k with
+    DISTINCT result sets (else the batch exercises one query three
+    times), and ranks must be 1..k per query."""
+    from streaming_data_pipeline_capstone_spark.queries.retrieval import (
+        _MULTI_QUERIES,
+        _TOPK,
+    )
+
+    qs = all_queries()
+    rows = qs["text_bm25_multi_topk"](spark, sf_oracle).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(_MULTI_QUERIES)
+    tops = set()
+    for qid, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, _TOPK + 1))
+        tops.add(tuple(sorted(r["doc_id"] for r in rs)))
+    assert len(tops) > 1, "query batch must produce distinct result sets"
