@@ -83,7 +83,7 @@ BENCH_QUERIES = [
     "pipeline_curation_full",
     # round-9 addition: the complete ANN serving probe (partition-pruned
     # codes scan -> ADC shortlist -> exact re-rank) at the shipped
-    # 16x4/k=64 codebook — the query whose recall ANN_RECALL_r09.json
+    # 32x2/k=64 codebook — the query whose recall ANN_RECALL_r12.json
     # certifies. NOTE: totals grew again; compare per-query across rounds.
     "sim_topk_ivfpq_rerank_pruned",
     # round-9 additions: the two new trained/data-selection flagships.

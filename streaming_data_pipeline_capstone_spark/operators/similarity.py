@@ -839,8 +839,8 @@ def assign_cells_topn(
     scoring. On an isotropic corpus that ceiling is severe (measured
     ivf_exact recall 0.75 at nprobe/k = 0.25, ANN_RECALL_r11.json);
     storing each vector in its ``n`` nearest cells lifts it (0.915 at
-    n=2, same probed fraction) for n x the PQ-code bytes — 24 B/vector
-    at the shipped 96-bit codes, far below the raw vector.
+    n=2, same probed fraction) for n x the PQ-code bytes — 48 B/vector
+    at the shipped 192-bit codes, far below the 256 B raw vector.
 
     Implementation: the same k-element distance array as
     :func:`assign_cells`, zipped with cell ids and ``array_sort``-ed —

@@ -9,11 +9,20 @@ a retrain those two must be allowed to disagree for one run.
 
 Config provenance (ANN_RECALL_r09.json, VERDICT r8 ask #2): the r8 shape
 (subs=4, sub_dim=16, k=8) read recall@10 = 0.135 flat in k — the binding
-constraint was the sub-quantizer count. Shipped config: 16 subspaces of
-4 dims at k=64 codewords = 96 bits/vector (21.3x vs float32), reading
-0.525 ADC-only / 0.925 with the RERANK=100 exact re-rank; nprobe=5 of
-the k=8 fixture-scale coarse cells puts the composed IVF-PQ+rerank probe
-at 0.805.
+constraint was the sub-quantizer count. r9-r11 shipped 16 subspaces of
+4 dims at k=64 codewords (96 bits/vector); ANN_RECALL_r11.json showed
+that codebook capping pure ADC at 0.415 recall@10 at the realistic
+k=64-cell coarse index, leaving the exact re-rank load-bearing.
+
+r12 (ANN_PQ_SWEEP_r12.json, VERDICT r11 ask #4): swept pq_k→256, 32
+sub-quantizers, and a fixed PCA-balanced (parametric-OPQ) rotation.
+The rotation is a measured NEGATIVE on this corpus (isotropic by
+construction — ADC 0.405→0.400); pq_k=256 at 16 subs reads 0.54 ADC in
+the probe regime (just under the 0.6 target at 4/3 the bytes); 32
+subspaces of 2 dims at k=64 is the winner: probe-ADC 0.64, composed
+IVF-PQ+re-rank 0.915 at the same probed fraction — and the codebook
+literal (32·64·2 floats) is exactly the size of the old 16·64·4.
+Shipped config: 192 bits/vector (10.7x vs float32).
 """
 
 KMEANS_K = 8
@@ -21,8 +30,8 @@ NPROBE = 5
 KMEANS_ITERS = 5
 EMB_DIM = 64
 
-PQ_SUBS = 16
-PQ_SUB_DIM = 4
+PQ_SUBS = 32
+PQ_SUB_DIM = 2
 PQ_K = 64
 PQ_ITERS = 3
 RERANK = 100  # ADC-shortlist size for the exact re-rank stage
@@ -33,8 +42,9 @@ RERANK = 100  # ADC-shortlist size for the exact re-rank stage
 # 0.75 for nprobe/k = 0.25 — the corpus is isotropic, so a true
 # neighbor's ONE cell is often unprobed. The shipped fix is ScaNN-style
 # spilled assignment: store each vector in its SPILL nearest cells
-# (spill=2 -> ivf_exact 0.915; composed IVF-PQ+rerank 0.85 at
-# rerank=100, 0.895 at rerank=200) at 2x the 96-bit code bytes and the
+# (spill=2 -> ivf_exact 0.915; composed IVF-PQ+rerank 0.915 at
+# rerank=100 with the r12 32x2 codebook, ANN_RECALL_r12.json) at 2x
+# the per-vector code bytes and the
 # SAME probed fraction of stored rows. SPILL_NPROBE keeps the gate
 # query's probe at the certified nprobe/k = 0.25 ratio against the
 # fixture-scale KMEANS_K=8.

@@ -758,8 +758,15 @@ def _lloyd_sq(dim: int) -> str:
 
 def _lloyd_assign_cte(name: str, src: str, cents: str, dim: int) -> str:
     """CTE assigning each vector of ``src`` to its nearest ``cents`` centroid
-    (first-min tie-break, matching Spark's array_position-of-array_min)."""
-    return f"""{name} AS (SELECT vec_id, v, cell FROM (
+    (first-min tie-break, matching Spark's array_position-of-array_min).
+
+    MATERIALIZED (r12): the PQ oracles join _PQ_SUBS of these on vec_id;
+    inlined, DuckDB's planner faces a 32-way join of window subqueries
+    and the fixed-encode oracle went from seconds to unbounded when the
+    r12 codebook doubled the sub-quantizer count. Materializing pins
+    each assignment to one evaluation and the join to 32 tiny tables
+    (measured: >400 s → 5.8 s, values unchanged)."""
+    return f"""{name} AS MATERIALIZED (SELECT vec_id, v, cell FROM (
         SELECT e.vec_id, e.v, c.cell,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_lloyd_sq(dim)} ASC, c.cell ASC) AS rn
@@ -889,14 +896,16 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the ADC top-k are fully hash-checked against DuckDB — training
 # included.
 #
-# Config is chosen off the recorded curve (ANN_RECALL_r09.json, VERDICT
-# r8 ask #2): the r8 shape (subs=4, sub_dim=16, k=8) read recall@10 =
-# 0.135 FLAT in k — the binding constraint was the sub-quantizer COUNT
-# (one code per 16 dims), not codebook size. The shipped 16×4 split at
-# k=64 is 96 bits/vector (21.3x vs float32) and reads 0.525 ADC-only /
-# 0.925 with the _RERANK=100 exact re-rank — the deployment shape
-# registered below as sim_pq_topk_rerank_fixed. (Constants imported
-# from queries/ann_config.py above.)
+# Config is chosen off the recorded curves (ANN_RECALL_r09/r11 +
+# ANN_PQ_SWEEP_r12, VERDICT r8 ask #2 / r11 ask #4): the binding
+# constraint has always been the sub-quantizer COUNT (r8's 4×16 read
+# 0.135 flat in k; r9-r11's 16×4 capped probe-ADC at 0.415). The r12
+# shipped 32×2 split at k=64 is 192 bits/vector (10.7x vs float32),
+# reading 0.64 probe-ADC / 0.915 composed with the _RERANK exact
+# re-rank at the realistic k=64-cell index — the deployment shape
+# registered below as sim_pq_topk_rerank_fixed. A fixed PCA-balanced
+# rotation was swept and measured a NEGATIVE on this corpus (isotropic
+# by construction). (Constants imported from queries/ann_config.py.)
 
 
 def _pq_base_ctes() -> list[str]:
@@ -1588,8 +1597,8 @@ def sim_topk_ivfpq_rerank_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rerank budget downstream. The shipped fix is ScaNN-style spilling
 # (multi-assignment): the layout stores each vector in its _SPILL nearest
 # cells, lifting the ceiling to 0.915 and the composed IVF-PQ+rerank probe
-# to 0.85 (rerank=100) at the SAME probed fraction of stored rows, for
-# 2 x 96-bit code bytes. This gate query runs that exact plan at the
+# to 0.915 (rerank=100, r12 codebook) at the SAME probed fraction of
+# stored rows, for 2 x the per-vector code bytes. This gate query runs that exact plan at the
 # fixture's KMEANS_K=8 with _SPILL_NPROBE=2 — the certified nprobe/k =
 # 0.25 ratio — against a DuckDB oracle with the identical spilled
 # assignment, DISTINCT-survivor dedup, shortlist, and re-rank.

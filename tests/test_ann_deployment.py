@@ -285,9 +285,9 @@ def test_ivfpq_probe_recall_vs_full_adc(spark, sf_oracle):
     cell filter + the SAME ADC scoring as sim_pq_topk_fixed, so what the
     probe can lose is full-ADC top-10 members sitting in unprobed cells —
     nothing else. (Quantization loss vs exact cosine is a property of the
-    PQ config, characterized in ANN_RECALL_r09.json; at the shipped 16x4
-    k=64 codebook it's 7/10 at this fixture, up from ~4/10 at the r8
-    4x16 k=8 one.) Pinned at >=8 so an nprobe/config change that tanks
+    PQ config, characterized in ANN_RECALL_r09/r12; at the r12 shipped
+    32x2 k=64 codebook the full-ADC top-10 overlaps exact cosine 8/10 at
+    this fixture, up from 7/10 at 16x4 and ~4/10 at the r8 4x16 one.) Pinned at >=8 so an nprobe/config change that tanks
     the probe fails here, not in production."""
     qs = all_queries()
     full = [r.vec_id for r in qs["sim_pq_topk_fixed"](spark, sf_oracle).collect()]

@@ -251,8 +251,8 @@ MUST_PUSH_FILTER = {
 
 MAX_SCAN_COLS = 8
 
-# PQ-code scans legitimately read _PQ_SUBS narrow int columns (r9 shipped
-# config: 16 sub-quantizers) plus vec_id/cell — every one of those columns
+# PQ-code scans legitimately read _PQ_SUBS narrow int columns (r12 shipped
+# config: 32 sub-quantizers) plus vec_id/cell — every one of those columns
 # is consumed by the ADC expression, so the wide scan IS the pruned scan.
 # The raw `embedding` column must still be absent from code scans (the
 # rerank twins read it in a separate 2-column scan); that is asserted by
@@ -268,7 +268,7 @@ PQ_CODE_SCAN_QUERIES = {
     "sim_topk_ivfpq_rerank_pruned",
     "sim_topk_ivfpq_rerank_spill",
 }
-MAX_PQ_SCAN_COLS = 16 + 2  # c0..c15 + vec_id + cell
+MAX_PQ_SCAN_COLS = 32 + 2  # c0..c31 + vec_id + cell
 
 # The streaming-verdict gate query returns its job's OWN output parquet —
 # all 9 verdict columns are the payload, so the full-width read IS the

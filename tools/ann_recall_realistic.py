@@ -58,7 +58,14 @@ from tools.ann_recall import (  # noqa: E402
 
 DIM = 64
 TOP_K = 10
-PQ_SUBS, PQ_K, PQ_ITERS = 16, 64, 3  # the shipped config (queries/ann_config.py)
+# the shipped config — read from the registry constants so a retune
+# (e.g. r12's 16x4 -> 32x2) re-certifies automatically
+from streaming_data_pipeline_capstone_spark.queries.ann_config import (  # noqa: E402
+    PQ_ITERS,
+    PQ_K,
+    PQ_SUBS,
+)
+
 KMEANS_ITERS = 5
 
 
