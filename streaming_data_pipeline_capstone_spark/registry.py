@@ -80,6 +80,9 @@ def _load_all() -> None:
     from streaming_data_pipeline_capstone_spark.queries import (  # noqa: F401
         relational,
     )
+    from streaming_data_pipeline_capstone_spark.queries import (  # noqa: F401
+        tokenizer,
+    )
 
 
 # The driver's correctness gate samples the FIRST ~50 names of queries()
@@ -96,6 +99,9 @@ def _load_all() -> None:
 # tolerance.
 _SAMPLE_FIRST = [
     # new in r12
+    "tokenizer_bpe_train",
+    "tokenizer_bpe_encode",
+    "chunk_fixed_tokens",
     "text_bm25_multi_topk",
     "corpus_health_lm_by_source",
     # new in r11

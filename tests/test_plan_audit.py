@@ -205,6 +205,15 @@ SHUFFLE_BUDGET = {
     "window_lead_lag_orders": 1,
     "window_rank_parts": 1,
     "window_running_sum": 1,
+    # r12 tokenizer family: train returns the collected 8-row merge
+    # table (iteration jobs run at build time — word-count exchange +
+    # 8 vocabulary-sized pair-count exchanges, driver-side argmax like
+    # the IRLS/k-means convention); encode = one corpus exchange
+    # (map-side-combined groupBy doc_id) + the seed vocab exchange
+    # inside the persisted chain; chunking is a pure map stage.
+    "tokenizer_bpe_train": 0,
+    "tokenizer_bpe_encode": 2,
+    "chunk_fixed_tokens": 0,
 }
 
 # Queries whose current plan pushes ≥1 predicate into a parquet scan —
@@ -233,6 +242,7 @@ MUST_PUSH_FILTER = {
     "corpus_health_lm_by_source",
     "text_bm25_topk",
     "text_bm25_multi_topk",
+    "tokenizer_bpe_encode",  # IsNotNull(text) reaches both documents scans
     "retrieval_hybrid_rrf",
     "rollup_events_multires",
     "scalar_clean_filter",
