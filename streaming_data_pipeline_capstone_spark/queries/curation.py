@@ -1838,3 +1838,63 @@ def text_dup_spans_strip_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("bigint").alias("n_kept_tokens"),
         F.array_join(kept, " ").alias("text_stripped"),
     )
+
+
+# -- per-domain quota cap -----------------------------------------------------
+# C4/Gopher-style domain capping: no single source may contribute more
+# than K documents to the training mix (hot domains — content farms,
+# boilerplate-heavy hosts — otherwise dominate token mass). Keep the K
+# best by a quality proxy (n_chars here; any scored column composes),
+# deterministic tiebreak on doc_id.
+#
+# 100 TB shape — two-phase top-K: a plain per-source rank window puts an
+# ENTIRE hot domain in one task (the classic skew cliff: one domain can
+# be 1% of a crawl). Phase 1 ranks within (source, salt) — 8-way salt on
+# the doc id — and keeps each salt's local top-K, so the corpus-sized
+# exchange spreads every domain over 8 tasks and the phase-2 source-keyed
+# exchange carries at most 8K rows per source. Phase 2's global rank over
+# that superset equals the single-window rank exactly (every global
+# top-K row is in its salt's top-K). The oracle IS the single window.
+
+_CAP_K = 15
+_CAP_SALT = 8
+
+
+@register(
+    "curation_domain_cap",
+    f"""
+    SELECT doc_id, source, cap_rank, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC) AS INT) AS cap_rank
+      FROM documents
+    )
+    WHERE cap_rank <= {_CAP_K}
+    """,
+)
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top-15 docs per source by n_chars (doc_id tiebreak):
+    (doc_id, source, cap_rank, n_chars). Two-phase salted top-K — see
+    the module comment above for why the plain window doesn't scale."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    local = Window.partitionBy(
+        "source", F.pmod(F.xxhash64("doc_id"), F.lit(_CAP_SALT))
+    ).orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    pruned = (
+        d.withColumn("_lr", F.row_number().over(local))
+        .filter(F.col("_lr") <= _CAP_K)
+        .drop("_lr")
+    )
+    final = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        pruned.withColumn("cap_rank", F.row_number().over(final).cast("int"))
+        .filter(F.col("cap_rank") <= _CAP_K)
+        .select("doc_id", "source", "cap_rank", "n_chars")
+    )

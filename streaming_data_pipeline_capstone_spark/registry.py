@@ -102,6 +102,7 @@ _SAMPLE_FIRST = [
     "tokenizer_bpe_train",
     "tokenizer_bpe_encode",
     "chunk_fixed_tokens",
+    "curation_domain_cap",
     "text_bm25_multi_topk",
     "corpus_health_lm_by_source",
     # new in r11

@@ -276,3 +276,36 @@ def test_corpus_health_consistent_with_composite_filter(spark, sf_oracle):
         )
         assert parts == r.n_docs, src
         assert r.pass_rate == round(r.n_kept / r.n_docs, 6), src
+
+
+def test_domain_cap_two_phase_equals_plain_window(spark, sf_oracle):
+    """The salted two-phase top-K must be row-identical to the plain
+    per-source window, and the cap must actually bind on the fixture."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_capstone_spark.queries.curation import (
+        _CAP_K,
+        curation_domain_cap,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    got = {
+        (r.doc_id, r.source, r.cap_rank, r.n_chars)
+        for r in curation_domain_cap(spark, sf_oracle).collect()
+    }
+    d = read_table(spark, sf_oracle, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    plain = {
+        (r.doc_id, r.source, r.cap_rank, r.n_chars)
+        for r in d.withColumn(
+            "cap_rank", F.row_number().over(w).cast("int")
+        )
+        .filter(F.col("cap_rank") <= _CAP_K)
+        .select("doc_id", "source", "cap_rank", "n_chars")
+        .collect()
+    }
+    assert got == plain
+    assert d.count() > len(got), "cap never binds — vacuous fixture"

@@ -214,6 +214,9 @@ SHUFFLE_BUDGET = {
     "tokenizer_bpe_train": 0,
     "tokenizer_bpe_encode": 2,
     "chunk_fixed_tokens": 0,
+    # two-phase salted top-K: (source, salt) exchange + the pruned
+    # source-keyed exchange (<= 8*K rows per source)
+    "curation_domain_cap": 2,
 }
 
 # Queries whose current plan pushes ≥1 predicate into a parquet scan —
