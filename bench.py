@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     # again; compare per-query across rounds.
     "text_bm25_multi_topk",          # 3-query batch BM25, per-query rank window
     "corpus_health_lm_by_source",    # per-source CCNet bucket distribution
+    "tokenizer_bpe_encode",          # 8-round BPE train + corpus encode
+    "curation_domain_cap",           # two-phase salted per-source top-K
 ]
 
 WARM_COLD_TOL = 1.25  # warm may exceed cold by noise, not by 25%
