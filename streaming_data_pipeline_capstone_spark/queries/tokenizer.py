@@ -335,3 +335,106 @@ def chunk_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_md5"),
         )
     )
+
+
+# -- deployment shape: shipped merge table, zero training jobs ----------------
+# The per-invocation trainer above proves the training loop is
+# oracle-correct; a production pipeline tokenizes with a FROZEN vocab
+# (the PQ-codebook deployment convention, tools/train_codebooks.py).
+# tools/train_bpe.py trains once on the sf0.01 sample and ships the
+# merge table as literals in queries/bpe_vocab.py; the fixed encode
+# applies them as a chain of literal replaces — no argmax, no driver
+# round-trips, no training exchanges. The oracle inlines the SAME
+# literals, so the gate checks deployment-vs-SQL, not training.
+
+
+def _fixed_merge_expr(col):
+    """Chain the shipped merges as nested literal replaces over ``col``."""
+    from streaming_data_pipeline_capstone_spark.queries.bpe_vocab import MERGES
+
+    out = col
+    for _, a, b, _ in MERGES:
+        out = F.replace(out, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return out
+
+
+def _fixed_encode_oracle() -> str:
+    from streaming_data_pipeline_capstone_spark.queries.bpe_vocab import MERGES
+
+    s = ("'  ' || array_to_string(list_append(regexp_extract_all(word, '.'),"
+         f" '{_EOW}'), '  ') || '  '")
+    for _, a, b, _ in MERGES:
+        s = f"replace({s}, ' {a}  {b} ', ' {a}{b} ')"
+    return f"""
+    WITH wc AS (
+      SELECT term AS word, count(*) AS cnt
+      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+            FROM documents)
+      GROUP BY 1
+    ),
+    pw AS (
+      SELECT word, len(string_split(trim({s}, ' '), '  ')) AS w_bpe,
+             length(word) + 1 AS w_sym
+      FROM wc
+    ),
+    dt AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+      FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(w_sym) AS BIGINT) AS n_sym_tokens,
+           CAST(SUM(w_bpe) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(SUM(w_sym) AS DOUBLE) / SUM(w_bpe), 6) AS compression
+    FROM dt JOIN pw USING (word)
+    GROUP BY doc_id
+    """
+
+
+try:  # bootstrap: tools/train_bpe.py imports this module BEFORE the
+    # artifact it generates exists; skip registering the deploy twin then
+    from streaming_data_pipeline_capstone_spark.queries import bpe_vocab  # noqa: F401
+
+    _HAVE_VOCAB = True
+except ImportError:
+    _HAVE_VOCAB = False
+
+
+def _register_fixed(fn):
+    if _HAVE_VOCAB:
+        return register("tokenizer_bpe_encode_fixed", _fixed_encode_oracle())(fn)
+    return fn
+
+
+@_register_fixed
+def tokenizer_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the SHIPPED merge table (bpe_vocab.MERGES,
+    trained once on the sf0.01 sample by tools/train_bpe.py): same output
+    schema as tokenizer_bpe_encode, zero training jobs — the per-word
+    segmentation is a chain of literal replaces over the vocab frame."""
+    words = _word_counts(spark, sf_dir).select("word")
+    sym = _seed_symbols(words.withColumn("cnt", F.lit(1))).select("word", "s")
+    per_word = sym.select(
+        "word",
+        F.size(F.split(F.trim(_fixed_merge_expr(F.col("s"))), "  ")).alias(
+            "w_bpe"
+        ),
+        (F.length("word") + F.lit(1)).alias("w_sym"),
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("t")
+    )
+    return (
+        docs.select("doc_id", F.explode("t").alias("word"))
+        .join(F.broadcast(per_word), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("w_sym").alias("n_sym_tokens"),
+            F.sum("w_bpe").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("w_sym").cast("double") / F.sum("w_bpe"), 6
+            ).alias("compression"),
+        )
+    )

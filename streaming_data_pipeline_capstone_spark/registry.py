@@ -101,6 +101,7 @@ _SAMPLE_FIRST = [
     # new in r12
     "tokenizer_bpe_train",
     "tokenizer_bpe_encode",
+    "tokenizer_bpe_encode_fixed",
     "chunk_fixed_tokens",
     "curation_domain_cap",
     "text_bm25_multi_topk",

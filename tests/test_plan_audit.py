@@ -213,6 +213,7 @@ SHUFFLE_BUDGET = {
     # inside the persisted chain; chunking is a pure map stage.
     "tokenizer_bpe_train": 0,
     "tokenizer_bpe_encode": 2,
+    "tokenizer_bpe_encode_fixed": 2,  # same shape, zero training jobs
     "chunk_fixed_tokens": 0,
     # two-phase salted top-K: (source, salt) exchange + the pruned
     # source-keyed exchange (<= 8*K rows per source)
@@ -246,6 +247,7 @@ MUST_PUSH_FILTER = {
     "text_bm25_topk",
     "text_bm25_multi_topk",
     "tokenizer_bpe_encode",  # IsNotNull(text) reaches both documents scans
+    "tokenizer_bpe_encode_fixed",
     "retrieval_hybrid_rrf",
     "rollup_events_multires",
     "scalar_clean_filter",

@@ -151,3 +151,22 @@ def test_chunk_fixed_tokens_hand_checked(spark, sf_smoke):
                 c.chunk_md5
                 == hashlib.md5(" ".join(piece).encode()).hexdigest()
             )
+
+
+def test_fixed_encode_matches_trained_on_training_corpus(spark, sf_oracle):
+    """The shipped merge table was trained on sf0.01, so the deploy-shape
+    encode must be row-identical to the per-invocation trainer there —
+    and the shipped literals must equal a fresh training run."""
+    from streaming_data_pipeline_capstone_spark.queries.bpe_vocab import MERGES
+    from streaming_data_pipeline_capstone_spark.queries.tokenizer import (
+        tokenizer_bpe_encode_fixed,
+    )
+
+    _, fresh = _bpe_train_chain(spark, sf_oracle)
+    assert fresh == [tuple(m) for m in MERGES]
+
+    fixed = {
+        tuple(r) for r in tokenizer_bpe_encode_fixed(spark, sf_oracle).collect()
+    }
+    dyn = {tuple(r) for r in tokenizer_bpe_encode(spark, sf_oracle).collect()}
+    assert fixed == dyn
