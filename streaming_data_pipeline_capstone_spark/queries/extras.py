@@ -1703,3 +1703,167 @@ def sim_topk_ivfpq_rerank_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# -- hybrid retrieval with the ANN probe as the dense arm ---------------------
+# retrieval_hybrid_rrf's dense candidate generator is a full corpus scan
+# (exact, the recall ceiling); its docstring notes the IVF-PQ probe is a
+# drop-in. This query IS that drop-in — the production hybrid shape at
+# 100 TB: dense candidates from the partition-pruned codes scan -> ADC
+# shortlist -> exact re-rank (reads nprobe/k of stored rows), fused with
+# the pre-filtered BM25 arm by the same integer reciprocal-rank terms.
+# Recall tradeoff is the certified one (ANN_RECALL_r12.json composed
+# 0.915) and only RANKS cross the fusion boundary, so the fused frame
+# stays <=2*_CAND rows regardless of corpus size.
+
+
+def _rrf_ann_oracle() -> str:
+    from streaming_data_pipeline_capstone_spark.queries.retrieval import (
+        _CAND,
+        _MICRO,
+        _QUERY_TERMS,
+        _RRF_K,
+        _TOPK,
+        _bm25_ctes,
+    )
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        _values_cents_cte("cb", KMEANS_CENTROIDS),
+        _lloyd_assign_cte("af", "e", "cb", _EMB_DIM),
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+        f"""probe AS (SELECT cell FROM cb, q
+            ORDER BY list_cosine_similarity(cv, qv) DESC, cell ASC LIMIT {_NPROBE})""",
+    ]
+    for s in range(_PQ_SUBS):
+        lo = s * _PQ_SUB_DIM + 1
+        ctes.append(
+            f"e{s} AS (SELECT vec_id, list_slice(v, {lo}, {lo + _PQ_SUB_DIM - 1}) AS v FROM e)"
+        )
+        ctes.append(_values_cents_cte(f"b{s}", PQ_BOOKS[s]))
+        ctes.append(_lloyd_assign_cte(f"s{s}_af", f"e{s}", f"b{s}", _PQ_SUB_DIM))
+    joins, total = _adc_short_ctes(
+        ctes, " JOIN af USING (vec_id) JOIN probe ON af.cell = probe.cell"
+    )
+    ctes.append(
+        f"""short AS (SELECT a0.vec_id, round({total}, 6) AS adc_dist
+            FROM s0_af a0 {joins}
+            ORDER BY adc_dist ASC, vec_id ASC LIMIT {_RERANK})"""
+    )
+    ctes.append(
+        """rer AS (SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+            FROM e JOIN short USING (vec_id), q)"""
+    )
+    ctes.append(
+        f"""dense AS (SELECT id, r_dense FROM (
+            SELECT vec_id AS id,
+                   row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS r_dense
+            FROM rer) WHERE r_dense <= {_CAND})"""
+    )
+    ctes.append(_bm25_ctes(_QUERY_TERMS))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    sall AS (
+      SELECT doc_id AS id,
+             row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS r_sparse
+      FROM bm
+    ),
+    sparse AS (SELECT id, r_sparse FROM sall WHERE r_sparse <= {_CAND})
+    SELECT id, CAST(r_dense AS BIGINT) AS r_dense,
+           CAST(r_sparse AS BIGINT) AS r_sparse,
+           CAST(coalesce(CAST(round({_MICRO}.0 / ({_RRF_K} + r_dense)) AS BIGINT), 0)
+              + coalesce(CAST(round({_MICRO}.0 / ({_RRF_K} + r_sparse)) AS BIGINT), 0)
+             AS BIGINT) AS rrf_micro
+    FROM dense FULL OUTER JOIN sparse USING (id)
+    ORDER BY rrf_micro DESC, id ASC
+    LIMIT {_TOPK}
+    """
+    )
+
+
+@register("retrieval_hybrid_rrf_ann", _rrf_ann_oracle())
+def retrieval_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 by RRF of the partition-pruned IVF-PQ+rerank dense top-50
+    and BM25 top-50 — retrieval_hybrid_rrf with the scale-path dense arm."""
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+        probe_cells_py,
+    )
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        pq_adc_score,
+    )
+    from streaming_data_pipeline_capstone_spark.queries.retrieval import (
+        _CAND,
+        _MICRO,
+        _QUERY_TERMS,
+        _RRF_K,
+        _TOPK,
+        _bm25_scores,
+    )
+
+    layout = _serving_layout(spark, sf_dir)
+    query = _query_vec(spark, sf_dir)
+    probes = probe_cells_py(query, KMEANS_CENTROIDS, _NPROBE)
+    codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
+    short = (
+        spark.read.parquet(layout)
+        .filter(F.col("cell").isin(probes))
+        .select(
+            "vec_id",
+            F.round(pq_adc_score(codes, query, PQ_BOOKS, _PQ_SUB_DIM), 6).alias(
+                "adc_dist"
+            ),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(_RERANK)
+    )
+    qcol = F.array(*[F.lit(x) for x in query])
+    rer = (
+        spark.read.parquet(layout)
+        .filter(F.col("cell").isin(probes))
+        .select("vec_id", "embedding")
+        .join(F.broadcast(short.select("vec_id")), "vec_id")
+        .select(
+            "vec_id",
+            F.round(
+                cosine(F.transform("embedding", lambda x: x.cast("double")), qcol),
+                6,
+            ).alias("sim"),
+        )
+    )
+    dense_cand = rer.orderBy(F.desc("sim"), F.asc("vec_id")).limit(_CAND)
+    w_d = Window.partitionBy(F.lit(1)).orderBy(F.desc("sim"), F.asc("vec_id"))
+    dense = dense_cand.select(
+        F.col("vec_id").alias("id"),
+        F.row_number().over(w_d).cast("bigint").alias("r_dense"),
+    )
+    sparse_cand = (
+        _bm25_scores(spark, sf_dir, _QUERY_TERMS)
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(_CAND)
+    )
+    w_s = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    sparse = sparse_cand.select(
+        F.col("doc_id").alias("id"),
+        F.row_number().over(w_s).cast("bigint").alias("r_sparse"),
+    )
+    rr = lambda r: F.round(F.lit(float(_MICRO)) / (_RRF_K + r)).cast("bigint")  # noqa: E731
+    return (
+        dense.join(sparse, "id", "full_outer")
+        .select(
+            "id",
+            "r_dense",
+            "r_sparse",
+            (
+                F.coalesce(rr(F.col("r_dense")), F.lit(0))
+                + F.coalesce(rr(F.col("r_sparse")), F.lit(0))
+            ).alias("rrf_micro"),
+        )
+        .orderBy(F.desc("rrf_micro"), F.asc("id"))
+        .limit(_TOPK)
+    )

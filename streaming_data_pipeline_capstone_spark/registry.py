@@ -104,6 +104,7 @@ _SAMPLE_FIRST = [
     "tokenizer_bpe_encode_fixed",
     "chunk_fixed_tokens",
     "curation_domain_cap",
+    "retrieval_hybrid_rrf_ann",
     "text_bm25_multi_topk",
     "corpus_health_lm_by_source",
     # new in r11

@@ -45,6 +45,7 @@ BNLJ_OK = {
     "text_bm25_topk",  # crossJoin against the broadcast 1-row (N, avgdl) frame
     "text_bm25_multi_topk",  # same broadcast stats frame
     "retrieval_hybrid_rrf",  # same, plus the broadcast 1-row query vector
+    "retrieval_hybrid_rrf_ann",  # the BM25 arm's broadcast stats frame
 }
 
 # Audited exchange count per query (broadcasts excluded). UPPER bounds:
@@ -164,6 +165,8 @@ SHUFFLE_BUDGET = {
     # RRF: BM25's plan + dense TakeOrdered candidate gen; the fusion
     # windows/outer-join run on <=50-row frames
     "retrieval_hybrid_rrf": 5,
+    # same fusion with the partition-pruned IVF-PQ+rerank dense arm
+    "retrieval_hybrid_rrf_ann": 5,
     # funnel survivor chain + DSIR weights (3) + zero-shuffle top-k
     # selection + pack over the persisted k-row selected frame
     "pipeline_curation_dsir": 7,
@@ -248,6 +251,7 @@ MUST_PUSH_FILTER = {
     "text_bm25_multi_topk",
     "tokenizer_bpe_encode",  # IsNotNull(text) reaches both documents scans
     "tokenizer_bpe_encode_fixed",
+    "retrieval_hybrid_rrf_ann",
     "retrieval_hybrid_rrf",
     "rollup_events_multires",
     "scalar_clean_filter",
@@ -282,6 +286,7 @@ PQ_CODE_SCAN_QUERIES = {
     "sim_topk_ivfpq_pruned",
     "sim_topk_ivfpq_rerank_pruned",
     "sim_topk_ivfpq_rerank_spill",
+    "retrieval_hybrid_rrf_ann",  # its dense arm reads the codes layout
 }
 MAX_PQ_SCAN_COLS = 32 + 2  # c0..c31 + vec_id + cell
 

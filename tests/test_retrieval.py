@@ -167,3 +167,30 @@ def test_bm25_multi_queries_non_vacuous(spark, sf_oracle):
         assert sorted(r["rank"] for r in rs) == list(range(1, _TOPK + 1))
         tops.add(tuple(sorted(r["doc_id"] for r in rs)))
     assert len(tops) > 1, "query batch must produce distinct result sets"
+
+
+def test_rrf_ann_dense_arm_matches_serving_probe(spark, sf_oracle):
+    """retrieval_hybrid_rrf_ann's dense arm runs the SAME partition-pruned
+    IVF-PQ+rerank plan as sim_topk_ivfpq_rerank_pruned — its top-10 by
+    dense rank must therefore be that query's exact output ids, in order."""
+    from streaming_data_pipeline_capstone_spark.queries.extras import (
+        retrieval_hybrid_rrf_ann,
+        sim_topk_ivfpq_rerank_pruned,
+    )
+
+    probe = [
+        r.vec_id
+        for r in sim_topk_ivfpq_rerank_pruned(spark, sf_oracle).collect()
+    ]
+    fused = retrieval_hybrid_rrf_ann(spark, sf_oracle)
+    dense_top = [
+        r.id
+        for r in fused.filter(F.col("r_dense").isNotNull())
+        .orderBy("r_dense")
+        .collect()
+        if r.r_dense <= 10
+    ]
+    # the fused top-20 need not contain all 10 dense leaders, but every
+    # dense-ranked row it does contain must agree with the probe order
+    assert dense_top == probe[: len(dense_top)]
+    assert len(dense_top) >= 3, "vacuous: fused list carries no dense leaders"
