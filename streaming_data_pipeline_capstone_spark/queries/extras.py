@@ -1867,3 +1867,175 @@ def retrieval_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_micro"), F.asc("id"))
         .limit(_TOPK)
     )
+
+
+# -- batched multi-query ANN serving ------------------------------------------
+# Single-query probes are the demo shape; a serving tier answers query
+# BATCHES. The plan batches WITHOUT multiplying passes: ONE pruned codes
+# scan over the UNION of all queries' probe cells; a broadcast
+# (query_id, cell) pair table fans each code row out to exactly the
+# queries that probe its cell (never to the whole batch); per-query ADC
+# is a query_id-keyed CASE over the same literal lookup tables the
+# single-query probe compiles to; the shortlist and final top-k are rank
+# windows PARTITIONED BY query_id — more queries add partitions, not
+# passes. The one data-sized exchange carries the probed fraction fanned
+# by per-cell query multiplicity (≤ batch size, typically ~nprobe/k · Q).
+# The qid=0 slice is pinned identical to sim_topk_ivfpq_rerank_pruned.
+
+_MULTI_QIDS = [0, 1, 2]
+
+
+def _query_vecs_multi(
+    spark: SparkSession, sf_dir: str, qids: list[int]
+) -> dict[int, list[float]]:
+    rows = (
+        _double_vecs(spark, sf_dir).filter(F.col("vec_id").isin(qids)).collect()
+    )
+    return {int(r.vec_id): [float(x) for x in r.v] for r in rows}
+
+
+def _ivfpq_multi_oracle() -> str:
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        _values_cents_cte("cb", KMEANS_CENTROIDS),
+        _lloyd_assign_cte("af", "e", "cb", _EMB_DIM),
+    ]
+    for s in range(_PQ_SUBS):
+        lo = s * _PQ_SUB_DIM + 1
+        ctes.append(
+            f"e{s} AS (SELECT vec_id, list_slice(v, {lo}, {lo + _PQ_SUB_DIM - 1}) AS v FROM e)"
+        )
+        ctes.append(_values_cents_cte(f"b{s}", PQ_BOOKS[s]))
+        ctes.append(_lloyd_assign_cte(f"s{s}_af", f"e{s}", f"b{s}", _PQ_SUB_DIM))
+    tops = []
+    for qid in _MULTI_QIDS:
+        ctes.append(
+            f"q_{qid} AS (SELECT v AS qv FROM e WHERE vec_id = {qid})"
+        )
+        ctes.append(
+            f"""probe_{qid} AS (SELECT cell FROM cb, q_{qid} q
+                ORDER BY list_cosine_similarity(cv, q.qv) DESC, cell ASC
+                LIMIT {_NPROBE})"""
+        )
+        for s in range(_PQ_SUBS):
+            lo = s * _PQ_SUB_DIM + 1
+            ctes.append(
+                f"qs{qid}_{s} AS (SELECT list_slice(qv, {lo}, {lo + _PQ_SUB_DIM - 1})"
+                f" AS qv FROM q_{qid})"
+            )
+            ctes.append(
+                f"""dt{qid}_{s} AS (SELECT c.cell,
+                    list_sum(list_transform(range(1, {_PQ_SUB_DIM}+1),
+                        i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d
+                    FROM b{s} c, qs{qid}_{s} q)"""
+            )
+        joins = (
+            " ".join(f"JOIN s{s}_af a{s} USING (vec_id)" for s in range(1, _PQ_SUBS))
+            + " "
+            + " ".join(
+                f"JOIN dt{qid}_{s} ON a{s}.cell = dt{qid}_{s}.cell"
+                for s in range(_PQ_SUBS)
+            )
+            + f" JOIN af USING (vec_id) JOIN probe_{qid} ON af.cell = probe_{qid}.cell"
+        )
+        total = " + ".join(f"dt{qid}_{s}.d" for s in range(_PQ_SUBS))
+        ctes.append(
+            f"""short_{qid} AS MATERIALIZED (
+                SELECT a0.vec_id, round({total}, 6) AS adc_dist
+                FROM s0_af a0 {joins}
+                ORDER BY adc_dist ASC, vec_id ASC LIMIT {_RERANK})"""
+        )
+        ctes.append(
+            f"""top_{qid} AS (SELECT query_id, vec_id, cosine_sim, rank FROM (
+                SELECT {qid} AS query_id, e.vec_id,
+                       round(list_cosine_similarity(e.v, q.qv), 6) AS cosine_sim,
+                       CAST(row_number() OVER (
+                         ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                                  e.vec_id ASC) AS BIGINT) AS rank
+                FROM e JOIN short_{qid} USING (vec_id), q_{qid} q)
+                WHERE rank <= 10)"""
+        )
+        tops.append(f"SELECT * FROM top_{qid}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(tops)
+
+
+@register("sim_topk_ivfpq_multi", _ivfpq_multi_oracle())
+def sim_topk_ivfpq_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN serving: exact-cosine top-10 per query for the 3-query
+    batch through ONE pruned IVF-PQ + rerank pass — (query_id, vec_id,
+    cosine_sim, rank)."""
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+        probe_cells_py,
+    )
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        pq_adc_score,
+    )
+
+    layout = _serving_layout(spark, sf_dir)
+    qvecs = _query_vecs_multi(spark, sf_dir, _MULTI_QIDS)
+    probes = {
+        qid: probe_cells_py(qvecs[qid], KMEANS_CENTROIDS, _NPROBE)
+        for qid in _MULTI_QIDS
+    }
+    union_cells = sorted({c for cs in probes.values() for c in cs})
+    pairs = spark.createDataFrame(
+        [(qid, c) for qid in _MULTI_QIDS for c in probes[qid]],
+        "query_id int, cell int",
+    )
+    codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
+
+    def _per_qid(expr_fn):
+        out = None
+        for qid in _MULTI_QIDS:
+            e = expr_fn(qvecs[qid])
+            cond = F.col("query_id") == qid
+            out = F.when(cond, e) if out is None else out.when(cond, e)
+        return out
+
+    cand = (
+        spark.read.parquet(layout)
+        .filter(F.col("cell").isin(union_cells))
+        .join(F.broadcast(pairs), "cell")
+        .select(
+            "query_id",
+            "vec_id",
+            _per_qid(
+                lambda qv: F.round(
+                    pq_adc_score(codes, qv, PQ_BOOKS, _PQ_SUB_DIM), 6
+                )
+            ).alias("adc_dist"),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    short = (
+        cand.withColumn("_r", F.row_number().over(w_short))
+        .filter(F.col("_r") <= _RERANK)
+        .select("query_id", "vec_id")
+    )
+    raw = (
+        spark.read.parquet(layout)
+        .filter(F.col("cell").isin(union_cells))
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .dropDuplicates(["vec_id"])
+    )
+    rer = raw.join(F.broadcast(short), "vec_id").select(
+        "query_id",
+        "vec_id",
+        _per_qid(
+            lambda qv: F.round(
+                cosine(F.col("v"), F.array(*[F.lit(x) for x in qv])), 6
+            )
+        ).alias("cosine_sim"),
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w_top).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )

@@ -105,6 +105,7 @@ _SAMPLE_FIRST = [
     "chunk_fixed_tokens",
     "curation_domain_cap",
     "retrieval_hybrid_rrf_ann",
+    "sim_topk_ivfpq_multi",
     "text_bm25_multi_topk",
     "corpus_health_lm_by_source",
     # new in r11

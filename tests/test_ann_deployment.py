@@ -391,3 +391,33 @@ def test_spilled_layout_and_probe(spark, sf_oracle):
         for r in qs["sim_topk_ivfpq_rerank_spill"](spark, sf_oracle).collect()
     }
     assert len(set(exact) & got) >= 8, got
+
+
+def test_multi_query_probe_slice_matches_single(spark, sf_oracle):
+    """sim_topk_ivfpq_multi batches through one pruned pass; its qid=0
+    slice must be exactly sim_topk_ivfpq_rerank_pruned's output, and every
+    query in the batch must return a full non-degenerate top-10."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_capstone_spark.queries.extras import (
+        _MULTI_QIDS,
+        sim_topk_ivfpq_multi,
+        sim_topk_ivfpq_rerank_pruned,
+    )
+
+    batch = sim_topk_ivfpq_multi(spark, sf_oracle).collect()
+    single = [
+        (r.vec_id, r.cosine_sim)
+        for r in sim_topk_ivfpq_rerank_pruned(spark, sf_oracle).collect()
+    ]
+    slice0 = sorted(
+        ((r.vec_id, r.cosine_sim, r.rank) for r in batch if r.query_id == 0),
+        key=lambda t: t[2],
+    )
+    assert [(v, c) for v, c, _ in slice0] == single
+    per_q = {qid: [r for r in batch if r.query_id == qid] for qid in _MULTI_QIDS}
+    for qid, rows in per_q.items():
+        assert len(rows) == 10, qid
+        assert rows[0].cosine_sim != rows[-1].cosine_sim or len(
+            {r.vec_id for r in rows}
+        ) == 10

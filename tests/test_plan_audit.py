@@ -167,6 +167,9 @@ SHUFFLE_BUDGET = {
     "retrieval_hybrid_rrf": 5,
     # same fusion with the partition-pruned IVF-PQ+rerank dense arm
     "retrieval_hybrid_rrf_ann": 5,
+    # batched serving: query_id-fanned candidate exchange + per-query
+    # shortlist and top-k rank windows (query_id-partitioned)
+    "sim_topk_ivfpq_multi": 3,
     # funnel survivor chain + DSIR weights (3) + zero-shuffle top-k
     # selection + pack over the persisted k-row selected frame
     "pipeline_curation_dsir": 7,
@@ -252,6 +255,7 @@ MUST_PUSH_FILTER = {
     "tokenizer_bpe_encode",  # IsNotNull(text) reaches both documents scans
     "tokenizer_bpe_encode_fixed",
     "retrieval_hybrid_rrf_ann",
+    "sim_topk_ivfpq_multi",
     "retrieval_hybrid_rrf",
     "rollup_events_multires",
     "scalar_clean_filter",
@@ -287,6 +291,7 @@ PQ_CODE_SCAN_QUERIES = {
     "sim_topk_ivfpq_rerank_pruned",
     "sim_topk_ivfpq_rerank_spill",
     "retrieval_hybrid_rrf_ann",  # its dense arm reads the codes layout
+    "sim_topk_ivfpq_multi",  # the batched probe reads the same layout
 }
 MAX_PQ_SCAN_COLS = 32 + 2  # c0..c31 + vec_id + cell
 
