@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "corpus_health_lm_by_source",    # per-source CCNet bucket distribution
     "tokenizer_bpe_encode",          # 8-round BPE train + corpus encode
     "curation_domain_cap",           # two-phase salted per-source top-K
+    "retrieval_hybrid_rrf_ann",      # hybrid RRF with the pruned ANN dense arm
+    "sim_topk_ivfpq_multi",          # 3-query batched ANN serving pass
 ]
 
 WARM_COLD_TOL = 1.25  # warm may exceed cold by noise, not by 25%
