@@ -320,24 +320,23 @@ def connected_components(
     # boundary instead (cache.scope_checkpoints — freed when the next
     # query builds, by which point sequential callers have consumed the
     # result).
-    sc = pairs.sparkSession.sparkContext
+    def _ckpt_handle(df):
+        """The checkpoint RDD backing a localCheckpoint'd frame — read
+        off the frame's own LogicalRDD plan, so attribution is exact.
+        (An earlier version diffed sc.getPersistentRDDs() by a
+        'localCheckpoint' toString match: under concurrent queries that
+        sweeps OTHER queries' just-created checkpoint blocks into this
+        round and unpersists them — localCheckpoint blocks cannot be
+        recomputed, so the victim dies with 'checkpoint block not
+        found'. The per-frame handle has no such race.)"""
+        return df._jdf.queryExecution().analyzed().rdd()
 
-    def _ckpt_rdds() -> dict:
-        m = sc._jsc.getPersistentRDDs()
-        out = {}
-        for i in m.keySet().toArray():
-            r = m.get(i)
-            if "localCheckpoint" in r.toString():
-                out[i] = r
-        return out
-
-    seen_before = set(_ckpt_rdds())
     labels = (
         edges.groupBy("a").agg(F.min("b").alias("nb"))
         .select("a", F.least("a", "nb").alias("label"))
         .localCheckpoint(eager=False)
     )
-    prev_round: dict = {}
+    prev_round: list = [_ckpt_handle(labels)]
     # Convergence = "no label changed this round", checked type-agnostically
     # by carrying the round-start label through the step and counting rows
     # where it differs afterwards (works for string ids too — a sum-based
@@ -364,16 +363,12 @@ def connected_components(
             .select("a", "__prev", F.least("label", "ll").alias("label"))
             .localCheckpoint(eager=False)
         )
+        this_round = [_ckpt_handle(labels)]
         n_changed = labels.filter(F.col("label") != F.col("__prev")).count()
         # this round's checkpoint is now materialized: the previous
         # round's blocks are unreachable — free them
-        now = _ckpt_rdds()
-        this_round = {
-            i: r for i, r in now.items() if i not in seen_before
-        }
-        for r in prev_round.values():
+        for r in prev_round:
             r.unpersist(False)
-        seen_before |= set(this_round)
         prev_round = this_round
         labels = labels.drop("__prev")
         if n_changed == 0:
@@ -381,5 +376,5 @@ def connected_components(
     edges.unpersist()
     from streaming_data_pipeline_capstone_spark.cache import scope_checkpoints
 
-    scope_checkpoints(prev_round.values())
+    scope_checkpoints(prev_round)
     return labels.select(F.col("a").alias("node"), F.col("label").alias("component"))

@@ -1539,14 +1539,16 @@ def sim_pq_topk_rerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_topk_ivfpq_rerank_pruned", _ivfpq_rerank_oracle())
-def sim_topk_ivfpq_rerank_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPLETE serving probe at 100 TB: partition-pruned codes-only
-    scan of nprobe/k of storage -> ADC shortlist of _RERANK ids -> raw
-    vectors fetched for the shortlist only (a second pruned scan joined
-    against the broadcast shortlist; at serving, _RERANK keyed fetches)
-    -> exact cosine top-10. Recorded composed recall 0.805
-    (ANN_RECALL_r09.json ivf_pq_rerank at the shipped config)."""
+def _pruned_rerank_topk(
+    spark: SparkSession, sf_dir: str, limit: int
+) -> DataFrame:
+    """The partition-pruned serving probe, parameterized only by the
+    final depth: pruned codes-only scan of nprobe/k of storage -> ADC
+    shortlist of _RERANK ids -> raw vectors fetched for the shortlist
+    only -> exact-cosine top-``limit`` as (vec_id, cosine_sim). ONE
+    implementation serves the gate query (limit 10) and the hybrid-RRF
+    dense arm (limit _CAND), so a probe retune cannot desynchronize
+    them."""
     from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
         probe_cells_py,
     )
@@ -1585,8 +1587,19 @@ def sim_topk_ivfpq_rerank_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
-        .limit(10)
+        .limit(limit)
     )
+
+
+@register("sim_topk_ivfpq_rerank_pruned", _ivfpq_rerank_oracle())
+def sim_topk_ivfpq_rerank_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE serving probe at 100 TB: partition-pruned codes-only
+    scan of nprobe/k of storage -> ADC shortlist of _RERANK ids -> raw
+    vectors fetched for the shortlist only (a second pruned scan joined
+    against the broadcast shortlist; at serving, _RERANK keyed fetches)
+    -> exact cosine top-10. Recorded composed recall 0.805
+    (ANN_RECALL_r09.json ivf_pq_rerank at the shipped config)."""
+    return _pruned_rerank_topk(spark, sf_dir, 10)
 
 
 # -- spilled-assignment serving probe (round 11, VERDICT r10 ask #3) ----------
@@ -1789,12 +1802,6 @@ def retrieval_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     and BM25 top-50 — retrieval_hybrid_rrf with the scale-path dense arm."""
     from pyspark.sql import Window
 
-    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
-        probe_cells_py,
-    )
-    from streaming_data_pipeline_capstone_spark.operators.similarity import (
-        pq_adc_score,
-    )
     from streaming_data_pipeline_capstone_spark.queries.retrieval import (
         _CAND,
         _MICRO,
@@ -1804,37 +1811,9 @@ def retrieval_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bm25_scores,
     )
 
-    layout = _serving_layout(spark, sf_dir)
-    query = _query_vec(spark, sf_dir)
-    probes = probe_cells_py(query, KMEANS_CENTROIDS, _NPROBE)
-    codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
-    short = (
-        spark.read.parquet(layout)
-        .filter(F.col("cell").isin(probes))
-        .select(
-            "vec_id",
-            F.round(pq_adc_score(codes, query, PQ_BOOKS, _PQ_SUB_DIM), 6).alias(
-                "adc_dist"
-            ),
-        )
-        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-        .limit(_RERANK)
+    dense_cand = _pruned_rerank_topk(spark, sf_dir, _CAND).withColumnRenamed(
+        "cosine_sim", "sim"
     )
-    qcol = F.array(*[F.lit(x) for x in query])
-    rer = (
-        spark.read.parquet(layout)
-        .filter(F.col("cell").isin(probes))
-        .select("vec_id", "embedding")
-        .join(F.broadcast(short.select("vec_id")), "vec_id")
-        .select(
-            "vec_id",
-            F.round(
-                cosine(F.transform("embedding", lambda x: x.cast("double")), qcol),
-                6,
-            ).alias("sim"),
-        )
-    )
-    dense_cand = rer.orderBy(F.desc("sim"), F.asc("vec_id")).limit(_CAND)
     w_d = Window.partitionBy(F.lit(1)).orderBy(F.desc("sim"), F.asc("vec_id"))
     dense = dense_cand.select(
         F.col("vec_id").alias("id"),

@@ -36,7 +36,7 @@ mandate alongside the dedup/ANN/curation families.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streaming_data_pipeline_capstone_spark.operators.textstats import tokens
@@ -52,11 +52,12 @@ _TOPK = 20
 _QUERY_TERMS = ["hash", "join", "window", "scan"]
 
 
-def _bm25_scores(
+def _bm25_tf_idf(
     spark: SparkSession, sf_dir: str, terms: list[str]
-) -> DataFrame:
-    """(doc_id, score_micro): integer micro-unit BM25 score of every doc
-    matching ≥1 query term."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared BM25 base: (tf(doc_id, term, tf), idf(term, avgdl, idf),
+    lens(doc_id, dl)). One plan serves the single- AND multi-query
+    entries, so the formula/tokenization can never drift between them."""
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", tokens("text").alias("t")
     )
@@ -83,25 +84,40 @@ def _bm25_scores(
             ).alias("idf"),
         )
     )
+    return tf, idf, lens
+
+
+def _c_micro() -> Column:
+    """The per-(doc, term) integer micro-unit BM25 contribution, over
+    columns tf/idf/dl/avgdl — rounded ONCE so per-doc scores are
+    order-independent integer sums in both engines."""
+    return (
+        F.round(
+            F.col("idf")
+            * (F.col("tf") * (_K1 + 1.0))
+            / (
+                F.col("tf")
+                + _K1
+                * (1.0 - _B + _B * F.col("dl").cast("double") / F.col("avgdl"))
+            )
+            * _MICRO,
+            0,
+        )
+        .cast("bigint")
+        .alias("c_micro")
+    )
+
+
+def _bm25_scores(
+    spark: SparkSession, sf_dir: str, terms: list[str]
+) -> DataFrame:
+    """(doc_id, score_micro): integer micro-unit BM25 score of every doc
+    matching ≥1 query term."""
+    tf, idf, lens = _bm25_tf_idf(spark, sf_dir, terms)
     contrib = (
         tf.join(F.broadcast(idf), "term")
         .join(lens, "doc_id")
-        .select(
-            "doc_id",
-            F.round(
-                F.col("idf")
-                * (F.col("tf") * (_K1 + 1.0))
-                / (
-                    F.col("tf")
-                    + _K1
-                    * (1.0 - _B + _B * F.col("dl").cast("double") / F.col("avgdl"))
-                )
-                * _MICRO,
-                0,
-            )
-            .cast("bigint")
-            .alias("c_micro"),
-        )
+        .select("doc_id", _c_micro())
     )
     return contrib.groupBy("doc_id").agg(
         F.sum("c_micro").alias("score_micro")
@@ -329,33 +345,7 @@ def text_bm25_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micro-units, per-query rank with doc_id tiebreak)."""
     from pyspark.sql import Window
 
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("t")
-    )
-    lens = docs.select("doc_id", F.size("t").alias("dl"))
-    stats = lens.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-    all_terms = _multi_terms()
-    tf = (
-        docs.select("doc_id", F.explode("t").alias("term"))
-        .filter(F.col("term").isin(all_terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    idf = (
-        tf.groupBy("term")
-        .agg(F.count("*").cast("double").alias("df"))
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "term",
-            "avgdl",
-            F.log(
-                1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ).alias("idf"),
-        )
-    )
+    tf, idf, lens = _bm25_tf_idf(spark, sf_dir, _multi_terms())
     q = spark.createDataFrame(
         [(qid, t) for qid, ts in sorted(_MULTI_QUERIES.items()) for t in ts],
         "query_id int, term string",
@@ -364,23 +354,7 @@ def text_bm25_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(q), "term")
         .join(F.broadcast(idf), "term")
         .join(lens, "doc_id")
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(
-                F.col("idf")
-                * (F.col("tf") * (_K1 + 1.0))
-                / (
-                    F.col("tf")
-                    + _K1
-                    * (1.0 - _B + _B * F.col("dl").cast("double") / F.col("avgdl"))
-                )
-                * _MICRO,
-                0,
-            )
-            .cast("bigint")
-            .alias("c_micro"),
-        )
+        .select("query_id", "doc_id", _c_micro())
     )
     scores = contrib.groupBy("query_id", "doc_id").agg(
         F.sum("c_micro").alias("score_micro")

@@ -73,7 +73,10 @@ def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _seed_symbols(words: DataFrame) -> DataFrame:
     """Add the double-space-separated symbol string: chars + </w>."""
-    chars = F.regexp_extract_all("word", F.lit("."), F.lit(0))
+    # (?s): Java '.' excludes U+2028/U+2029/U+0085 that RE2 '.' keeps
+    # (and vice versa for \n) — DOTALL makes both engines take every
+    # char, so symbol lists can never diverge on exotic whitespace
+    chars = F.regexp_extract_all("word", F.lit("(?s)."), F.lit(0))
     sym = F.concat(
         F.lit("  "),
         F.array_join(F.concat(chars, F.array(F.lit(_EOW))), "  "),
@@ -163,7 +166,7 @@ def _bpe_ctes(n_merges: int = _N_MERGES) -> str:
     s0 AS MATERIALIZED (
       SELECT word, cnt,
              '  ' || array_to_string(
-                       list_append(regexp_extract_all(word, '.'), '{_EOW}'),
+                       list_append(regexp_extract_all(word, '(?s).'), '{_EOW}'),
                        '  ') || '  ' AS s
       FROM wc
     )"""
@@ -187,9 +190,11 @@ def _bpe_ctes(n_merges: int = _N_MERGES) -> str:
     ),
     s{i} AS MATERIALIZED (
       SELECT word, cnt,
-             replace(s, ' ' || a || '  ' || b || ' ',
-                        ' ' || a || b || ' ') AS s
-      FROM {prev}, b{i}
+             CASE WHEN m.a IS NULL THEN s
+                  ELSE replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                                  ' ' || m.a || m.b || ' ')
+             END AS s
+      FROM {prev} LEFT JOIN b{i} m ON TRUE
     )"""
         )
     return ",\n    ".join(parts)
@@ -361,7 +366,7 @@ def _fixed_merge_expr(col):
 def _fixed_encode_oracle() -> str:
     from streaming_data_pipeline_capstone_spark.queries.bpe_vocab import MERGES
 
-    s = ("'  ' || array_to_string(list_append(regexp_extract_all(word, '.'),"
+    s = ("'  ' || array_to_string(list_append(regexp_extract_all(word, '(?s).'),"
          f" '{_EOW}'), '  ') || '  '")
     for _, a, b, _ in MERGES:
         s = f"replace({s}, ' {a}  {b} ', ' {a}{b} ')"

@@ -74,6 +74,7 @@ from streaming_data_pipeline_capstone_spark.queries.quality import (
 )
 from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
     read_index,
+    read_index_or_none,
     write_epoch_idempotent,
 )
 
@@ -219,14 +220,20 @@ def _verdict_batch(
         .distinct()
         .collect()
     ]
-    try:
-        old = (
-            read_index(spark, fp_path, exclude_epoch=epoch_id, buckets=bkts)
-            .groupBy("fp")
-            .agg(F.min("min_doc").alias("old_min"))
+    idx = read_index_or_none(
+        spark, fp_path, exclude_epoch=epoch_id, buckets=bkts
+    )
+    if idx is not None:
+        old = idx.groupBy("fp").agg(F.min("min_doc").alias("old_min"))
+        # null-SAFE fp join: the batch twin's window groups null
+        # fingerprints (null text) together, so the cross-batch join
+        # must match them too — a plain equi-join would silently skip
+        # null-fp state and break stream/batch verdict parity
+        b = (
+            b.join(old, b["fp"].eqNullSafe(old["fp"]), "left")
+            .drop(old["fp"])
         )
-        b = b.join(old, "fp", "left")
-    except Exception:  # first batch / all-new buckets: no old state
+    else:  # first batch / all-new buckets: no old state
         b = b.withColumn("old_min", F.lit(None).cast("bigint"))
     keep_dedup = (F.col("doc_id") == F.col("batch_min")) & (
         F.col("old_min").isNull() | (F.col("doc_id") < F.col("old_min"))

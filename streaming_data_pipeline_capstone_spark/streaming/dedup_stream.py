@@ -109,11 +109,18 @@ def write_epoch_idempotent(
     )
 
 
+_HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
 def _existing_bucket_paths(spark, path: str, buckets: list) -> list[str]:
     """The subset of ``<path>/bkt=<b>`` directories that exist, resolved
     through ONE Hadoop globStatus call (remote schemes work; cost is one
     listing of the index ROOT's direct children — bounded by the bucket
-    fan-out constant, independent of index size)."""
+    fan-out constant, independent of index size).
+
+    A ``None`` bucket (a null key — e.g. the fingerprint of a null text)
+    is probed as Hive's default null partition, which is where the
+    writer put it; the literal string ``'bkt=None'`` never exists."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(path)
@@ -123,7 +130,38 @@ def _existing_bucket_paths(spark, path: str, buckets: list) -> list[str]:
     if statuses is None:
         return []
     have = {st.getPath().getName() for st in statuses}
-    return [f"{path}/bkt={b}" for b in buckets if f"bkt={b}" in have]
+    names = {_HIVE_NULL_PART if b is None else b for b in buckets}
+    return [f"{path}/bkt={b}" for b in names if f"bkt={b}" in have]
+
+
+def read_index_or_none(
+    spark,
+    path: str,
+    exclude_epoch: int | None = None,
+    buckets: list | None = None,
+) -> DataFrame | None:
+    """:func:`read_index`, returning ``None`` iff the index (or every
+    probed bucket) does not exist yet — the first-batch case.
+
+    This is the ONLY failure callers may treat as "no old state". A
+    broad ``except`` here once swallowed transient Spark job failures
+    too, silently dropping every cross-batch pair for the epoch while
+    the stream committed it — the worst kind of loss (permanent and
+    signal-free). Keep candidate-side ``collect()`` jobs OUTSIDE this
+    call so their failures still fail the batch and trigger the
+    engine's replay."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return read_index(
+            spark, path, exclude_epoch=exclude_epoch, buckets=buckets
+        )
+    except FileNotFoundError:
+        return None  # no probed bucket exists yet
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None  # index root not created yet
+        raise
 
 
 def read_index(
@@ -198,23 +236,25 @@ def _merge_batch(
 
     # new-vs-new pairs within this batch
     cands = candidate_pairs_from_bands(bands_new)
-    try:
-        # new-vs-old: the band index is bucketed by a bh prefix, so only
-        # the bucket directories this batch's bands hash to are listed
-        # and read — per-batch I/O ∝ batch, not accumulated index. The
-        # bucket list is a per-batch literal (≤ _BH_BUCKETS values,
-        # collected from the already-persisted bands_new). doc1 = old,
-        # doc2 = new (id order fixed afterwards by jaccard_verify's
-        # symmetric join).
-        bh_bkts = [
-            r[0]
-            for r in bands_new.select(_bh_bucket(F.col("bh")).alias("b"))
-            .distinct()
-            .collect()
-        ]
-        bands_old = read_index(
-            spark, bands_path, exclude_epoch=epoch_id, buckets=bh_bkts
-        )
+    # new-vs-old: the band index is bucketed by a bh prefix, so only
+    # the bucket directories this batch's bands hash to are listed
+    # and read — per-batch I/O ∝ batch, not accumulated index. The
+    # bucket list is a per-batch literal (≤ _BH_BUCKETS values,
+    # collected from the already-persisted bands_new — this collect is
+    # a real job and stays OUTSIDE the missing-index guard so a
+    # transient failure fails the batch instead of silently dropping
+    # cross-batch pairs). doc1 = old, doc2 = new (id order fixed
+    # afterwards by jaccard_verify's symmetric join).
+    bh_bkts = [
+        r[0]
+        for r in bands_new.select(_bh_bucket(F.col("bh")).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    bands_old = read_index_or_none(
+        spark, bands_path, exclude_epoch=epoch_id, buckets=bh_bkts
+    )
+    if bands_old is not None:
         cross = (
             bands_new.alias("n")
             .join(
@@ -230,35 +270,32 @@ def _merge_batch(
             .distinct()
         )
         cands = cands.unionByName(cross).distinct()
-    except Exception:  # first batch / no overlapping buckets: no old cands
-        pass
 
     cands = cands.persist()
-    all_sets = sets_new
-    try:
-        # the shingle index is only needed for the OLD side of verified
-        # candidates — prune its read to the doc-id buckets the candidate
-        # pairs actually touch (cands is LSH-survivor-sized, so the
-        # bucket collect is cheap; every old candidate doc is covered by
-        # construction since its bucket is derived from the pair row).
-        cand_bkts = [
-            r[0]
-            for r in cands.select(
-                F.explode(
-                    F.array(
-                        _doc_bucket(F.col("doc1")), _doc_bucket(F.col("doc2"))
-                    )
-                ).alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
-        sets_old = read_index(
-            spark, sets_path, exclude_epoch=epoch_id, buckets=cand_bkts
+    # the shingle index is only needed for the OLD side of verified
+    # candidates — prune its read to the doc-id buckets the candidate
+    # pairs actually touch (cands is LSH-survivor-sized, so the
+    # bucket collect is cheap; every old candidate doc is covered by
+    # construction since its bucket is derived from the pair row). The
+    # collect runs the full LSH band join — unguarded on purpose.
+    cand_bkts = [
+        r[0]
+        for r in cands.select(
+            F.explode(
+                F.array(
+                    _doc_bucket(F.col("doc1")), _doc_bucket(F.col("doc2"))
+                )
+            ).alias("b")
         )
-        all_sets = sets_new.unionByName(sets_old)
-    except Exception:  # first batch / candidates all new-vs-new
-        pass
+        .distinct()
+        .collect()
+    ]
+    sets_old = read_index_or_none(
+        spark, sets_path, exclude_epoch=epoch_id, buckets=cand_bkts
+    )
+    all_sets = (
+        sets_new if sets_old is None else sets_new.unionByName(sets_old)
+    )
 
     verified = jaccard_verify(cands, all_sets, threshold)
     write_epoch_idempotent(verified, pairs_dir, epoch_id)

@@ -28,7 +28,7 @@ from streaming_data_pipeline_capstone_spark.operators.similarity import (
     materialize_planes,
 )
 from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
-    read_index,
+    read_index_or_none,
     write_epoch_idempotent,
 )
 
@@ -54,22 +54,19 @@ def _merge_batch(
         hyperplane_signature(vec_col, num_planes, dim, planes=planes).alias("sig"),
     ).persist()
 
-    try:
-        # exclude the current epoch: a replayed batch's own partial write
-        # must not count as "old" index data (see write_epoch_idempotent).
-        # The index is bucketed by the signature (the join key; 2^planes
-        # values — at 100 TB bucket on a fixed-length sig prefix), so the
-        # read lists/reads ONLY the buckets this batch's signatures hit:
-        # per-batch I/O Θ(batch), not Θ(index).
-        sig_bkts = [
-            r[0] for r in tagged_new.select("sig").distinct().collect()
-        ]
-        index = read_index(
-            spark, index_dir, exclude_epoch=epoch_id, buckets=sig_bkts
-        )
-        have_index = True
-    except Exception:
-        have_index = False
+    # exclude the current epoch: a replayed batch's own partial write
+    # must not count as "old" index data (see write_epoch_idempotent).
+    # The index is bucketed by the signature (the join key; 2^planes
+    # values — at 100 TB bucket on a fixed-length sig prefix), so the
+    # read lists/reads ONLY the buckets this batch's signatures hit:
+    # per-batch I/O Θ(batch), not Θ(index). The sig collect is a real
+    # job and stays outside the missing-index guard — a transient
+    # failure must fail the batch, not masquerade as "no index".
+    sig_bkts = [r[0] for r in tagged_new.select("sig").distinct().collect()]
+    index = read_index_or_none(
+        spark, index_dir, exclude_epoch=epoch_id, buckets=sig_bkts
+    )
+    have_index = index is not None
 
     # new-vs-new within the batch (bucket-grouped, id1 < id2)
     a, b = tagged_new.alias("a"), tagged_new.alias("b")

@@ -170,3 +170,44 @@ def test_fixed_encode_matches_trained_on_training_corpus(spark, sf_oracle):
     }
     dyn = {tuple(r) for r in tokenizer_bpe_encode(spark, sf_oracle).collect()}
     assert fixed == dyn
+
+
+def test_bpe_oracle_survives_early_dry_corpus(spark, tmp_path_factory):
+    """A corpus whose pair counts run dry before _N_MERGES: the Spark
+    trainer breaks out early; the unrolled oracle's merge-apply CTEs are
+    LEFT JOINs so later (empty-b) rounds pass the vocab through instead
+    of cross-joining it away. Both engines must agree on train AND
+    encode output."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("drycorpus")
+    # one distinct word 'ab': merges (a,b) then (ab,</w>) then dry
+    spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab")], "doc_id BIGINT, text STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    sf = str(d)
+
+    train = [
+        tuple(r)
+        for r in tokenizer_bpe_train(spark, sf).orderBy("merge_rank").collect()
+    ]
+    assert [t[:4] for t in train] == [
+        (1, "a", "b", "ab"),
+        (2, "ab", "</w>", "ab</w>"),
+    ]
+    enc = {tuple(r) for r in tokenizer_bpe_encode(spark, sf).collect()}
+
+    from streaming_data_pipeline_capstone_spark.queries.tokenizer import (
+        _bpe_encode_oracle,
+        _bpe_train_oracle,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    o_train = [tuple(r) for r in con.execute(_bpe_train_oracle()).fetchall()]
+    assert o_train == train
+    o_enc = {tuple(r) for r in con.execute(_bpe_encode_oracle()).fetchall()}
+    assert o_enc == enc
