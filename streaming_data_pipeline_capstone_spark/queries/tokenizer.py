@@ -443,3 +443,92 @@ def tokenizer_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression"),
         )
     )
+
+
+# -- sequence-prep composition: chunk -> pack ---------------------------------
+# The full training-sequence prep path: fixed-width chunking (above)
+# feeding the token-budget packer (queries/curation._pack_bins, the
+# hierarchical two-level prefix sum). Chunks are ordered by the integer
+# uid = doc_id * 2^20 + chunk_idx (order-preserving, collision-free for
+# any document under 2^20 chunks), so the packer's per-language running
+# sum — and therefore bin_id — is deterministic and oracle-expressible
+# as the plain window the pack oracle already uses. With 32-token chunks
+# and the 512-token budget each full bin holds exactly 16 chunks; the
+# straddling-doc overflow case of free-form packing disappears, which is
+# WHY real pipelines chunk before packing.
+
+_UID_BASE = 1 << 20
+
+_CHUNK_PACK_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, lang, t, unnest(range(0, len(t), {_STRIDE})) AS start
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(start / {_STRIDE} AS INT) AS chunk_idx,
+             lang,
+             CAST(least(len(t) - start, {_CHUNK}) AS INT) AS n_tokens,
+             doc_id * {_UID_BASE} + CAST(start / {_STRIDE} AS BIGINT) AS uid
+      FROM st
+    )
+    SELECT doc_id, chunk_idx, lang, n_tokens,
+           CAST(floor(coalesce(SUM(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY uid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 512.0) AS BIGINT) AS bin_id
+    FROM c
+    """
+
+
+@register("pipeline_chunk_pack", _CHUNK_PACK_ORACLE)
+def pipeline_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every document into 32-token sequences, then pack the chunks
+    into 512-token training bins per language: (doc_id, chunk_idx, lang,
+    n_tokens, bin_id). The pack runs the hierarchical prefix sum —
+    bit-identical to the plain per-lang window the oracle states."""
+    from streaming_data_pipeline_capstone_spark.queries.curation import (
+        _doc_bucket_width,
+        _pack_bins,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens("text").alias("t")
+    )
+    chunks = d.select(
+        "doc_id",
+        "lang",
+        F.size("t").alias("_n"),
+        F.explode(
+            F.sequence(F.lit(0), F.size("t") - 1, F.lit(_STRIDE))
+        ).alias("start"),
+    ).select(
+        "doc_id",
+        (F.col("start") / _STRIDE).cast("int").alias("chunk_idx"),
+        "lang",
+        F.least(F.col("_n") - F.col("start"), F.lit(_CHUNK))
+        .cast("int")
+        .alias("n_tokens"),
+    )
+    t_frame = chunks.select(
+        (
+            F.col("doc_id") * F.lit(_UID_BASE)
+            + F.col("chunk_idx").cast("bigint")
+        ).alias("doc_id"),
+        "lang",
+        F.col("n_tokens").alias("n_tok"),
+    )
+    packed = _pack_bins(
+        t_frame, _doc_bucket_width(spark, sf_dir) * _UID_BASE
+    )
+    return packed.select(
+        F.floor(F.col("doc_id") / _UID_BASE).cast("bigint").alias("doc_id"),
+        F.pmod(F.col("doc_id"), F.lit(_UID_BASE)).cast("int").alias("chunk_idx"),
+        "lang",
+        F.col("n_tok").cast("int").alias("n_tokens"),
+        "bin_id",
+    )

