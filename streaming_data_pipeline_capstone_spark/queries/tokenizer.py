@@ -514,10 +514,27 @@ def pipeline_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_tokens"),
     )
+    # uid packing is collision-free only for chunk_idx < 2^20 (~25M tokens
+    # per document at stride 24). Nothing upstream enforces that, so force
+    # the bound into the uid expression itself: assert_true is NULL on
+    # every valid row (coalesce -> +0) and FAILS THE JOB on a violation —
+    # a too-large document surfaces as an error, never as silently
+    # colliding uids / wrong bins (ADVICE r12).
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("chunk_idx") < F.lit(_UID_BASE),
+            F.lit(
+                "pipeline_chunk_pack: document exceeds 2^20 chunks —"
+                " uid packing would collide; raise _UID_BASE"
+            ),
+        ).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
     t_frame = chunks.select(
         (
             F.col("doc_id") * F.lit(_UID_BASE)
             + F.col("chunk_idx").cast("bigint")
+            + guard
         ).alias("doc_id"),
         "lang",
         F.col("n_tokens").alias("n_tok"),

@@ -132,8 +132,36 @@ _SAMPLE_FIRST = [
 ]
 
 
+def _conditional_names() -> set[str]:
+    """Names whose registration is conditional on a generated artifact.
+
+    ``tokenizer_bpe_encode_fixed`` registers only when queries/bpe_vocab.py
+    exists (it is regenerated by tools/train_bpe.py, which imports the
+    tokenizer module BEFORE the artifact it writes). Listing it
+    unconditionally in ``_SAMPLE_FIRST`` made the bootstrap state fail the
+    stale-name test — a circular dependency for regenerating the artifact
+    (ADVICE r12). The lazy import avoids a registry<->tokenizer import
+    cycle at module-init time."""
+    try:
+        from streaming_data_pipeline_capstone_spark.queries.tokenizer import (
+            _HAVE_VOCAB,
+        )
+
+        missing = not _HAVE_VOCAB
+    except ImportError:
+        missing = True
+    return {"tokenizer_bpe_encode_fixed"} if missing else set()
+
+
+def sample_first() -> list[str]:
+    """``_SAMPLE_FIRST`` minus conditionally-registered names whose
+    artifact is absent — the list the stale-name test pins against."""
+    cond = _conditional_names()
+    return [n for n in _SAMPLE_FIRST if n not in cond]
+
+
 def _sample_ordered(d: dict) -> dict:
-    out = {n: d[n] for n in _SAMPLE_FIRST if n in d}
+    out = {n: d[n] for n in sample_first() if n in d}
     out.update((n, v) for n, v in d.items() if n not in out)
     return out
 

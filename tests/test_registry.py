@@ -10,8 +10,16 @@ def test_sample_first_names_all_resolve():
     silently shrinks the driver's correctness-sample coverage (the r10
     stream_curation_verdicts delivery bug hid behind exactly this)."""
     qs = registry.all_queries()
-    stale = set(registry._SAMPLE_FIRST) - set(qs)
+    stale = set(registry.sample_first()) - set(qs)
     assert not stale, f"_SAMPLE_FIRST names not registered: {sorted(stale)}"
+
+
+def test_conditional_names_are_declared():
+    """Conditionally-registered names (artifact-gated) must be the ONLY
+    ones sample_first() may drop relative to the raw list — anything else
+    missing is a stale entry, not a bootstrap state."""
+    dropped = set(registry._SAMPLE_FIRST) - set(registry.sample_first())
+    assert dropped <= {"tokenizer_bpe_encode_fixed"}, dropped
 
 
 def test_every_query_has_an_oracle():
