@@ -982,6 +982,30 @@ def pq_encode_cols(vec_col: Column, books: list[list[list[float]]], sub_dim: int
     ]
 
 
+def pq_adc_tables(
+    query: list[float], books: list[list[list[float]]], sub_dim: int
+) -> list[list[float]]:
+    """Per-subspace ADC lookup tables for one query: tables[s][code] =
+    exact squared L2 from the query's s-th subvector to sub-centroid
+    ``code``. The one piece of per-query state an ADC scan needs —
+    subs x pq_k doubles, computed once driver-side."""
+    tabs: list[list[float]] = []
+    for s, book in enumerate(books):
+        q_sub = query[s * sub_dim : (s + 1) * sub_dim]
+        tabs.append(
+            [
+                float(
+                    sum(
+                        (q_sub[i] - c[i]) * (q_sub[i] - c[i])
+                        for i in range(sub_dim)
+                    )
+                )
+                for c in book
+            ]
+        )
+    return tabs
+
+
 def pq_adc_score(
     code_cols: list[Column], query: list[float], books: list[list[list[float]]], sub_dim: int
 ) -> Column:
@@ -989,13 +1013,25 @@ def pq_adc_score(
     query's subvector to each sub-centroid (computed once, index-order sums —
     bit-identical to the SQL twin's per-subspace distance join)."""
     total = F.lit(0.0)
-    for s, book in enumerate(books):
-        q_sub = query[s * sub_dim : (s + 1) * sub_dim]
-        table = [
-            sum((q_sub[i] - c[i]) * (q_sub[i] - c[i]) for i in range(sub_dim))
-            for c in book
-        ]
+    for s, table in enumerate(pq_adc_tables(query, books, sub_dim)):
         total = total + F.element_at(
-            F.lit([float(d) for d in table]), code_cols[s].cast("int") + 1
+            F.lit(table), code_cols[s].cast("int") + 1
+        )
+    return total
+
+
+def pq_adc_score_tables_col(code_cols: list[Column], dtabs: Column) -> Column:
+    """ADC distance against a JOINED distance-table column instead of
+    literal tables: ``dtabs`` is ``array<array<double>>`` with
+    dtabs[s][code] the per-subspace lookup (built by :func:`pq_adc_tables`
+    and shipped as a broadcast frame keyed by query id). Same index-order
+    sum as :func:`pq_adc_score` — bit-identical results — but expression
+    size is O(subs) regardless of how many queries share the scan, which
+    is what lets a serving BATCH of hundreds of queries compile where a
+    per-query literal-CASE chain cannot."""
+    total = F.lit(0.0)
+    for s, code in enumerate(code_cols):
+        total = total + F.element_at(
+            F.element_at(dtabs, s + 1), code.cast("int") + 1
         )
     return total

@@ -1854,12 +1854,19 @@ def retrieval_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scan over the UNION of all queries' probe cells; a broadcast
 # (query_id, cell) pair table fans each code row out to exactly the
 # queries that probe its cell (never to the whole batch); per-query ADC
-# is a query_id-keyed CASE over the same literal lookup tables the
-# single-query probe compiles to; the shortlist and final top-k are rank
-# windows PARTITIONED BY query_id — more queries add partitions, not
-# passes. The one data-sized exchange carries the probed fraction fanned
-# by per-cell query multiplicity (≤ batch size, typically ~nprobe/k · Q).
-# The qid=0 slice is pinned identical to sim_topk_ivfpq_rerank_pruned.
+# joins a broadcast per-query DISTANCE-TABLE frame (query_id -> the
+# subs x pq_k lookup arrays pq_adc_tables builds) and sums
+# dtabs[s][code_s] — the SAME numbers the single-query literal tables
+# compile to, but expression size O(subs) regardless of batch size, so
+# the batch axis is bounded only by the broadcast (Q * subs * pq_k
+# doubles ≈ 16 KiB/query), not by codegen (VERDICT r12 #1: the previous
+# per-query literal-CASE chain grew the projection O(Q·subs·pq_k) and
+# would not compile at serving batch sizes). The shortlist and final
+# top-k are rank windows PARTITIONED BY query_id — more queries add
+# partitions, not passes. The one data-sized exchange carries the probed
+# fraction fanned by per-cell query multiplicity (≤ batch size,
+# typically ~nprobe/k · Q). The qid=0 slice is pinned identical to
+# sim_topk_ivfpq_rerank_pruned.
 
 _MULTI_QIDS = [0, 1, 2]
 
@@ -1938,53 +1945,55 @@ def _ivfpq_multi_oracle() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(tops)
 
 
-@register("sim_topk_ivfpq_multi", _ivfpq_multi_oracle())
-def sim_topk_ivfpq_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched ANN serving: exact-cosine top-10 per query for the 3-query
-    batch through ONE pruned IVF-PQ + rerank pass — (query_id, vec_id,
-    cosine_sim, rank)."""
+def multi_topk_ivfpq(
+    spark: SparkSession, sf_dir: str, qids: list[int]
+) -> DataFrame:
+    """The batched serving pass for an arbitrary query-id batch: one
+    pruned codes scan over the union of probe cells, broadcast
+    (query_id, cell) fan-out, broadcast per-query distance-table join for
+    the ADC, rank windows per query_id. Per-query state crossing the
+    cluster is ONE broadcast of Q rows (each subs x pq_k doubles + the
+    raw query vector); plan/expression size is independent of Q."""
     from pyspark.sql import Window
 
     from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
         probe_cells_py,
     )
     from streaming_data_pipeline_capstone_spark.operators.similarity import (
-        pq_adc_score,
+        pq_adc_score_tables_col,
+        pq_adc_tables,
     )
 
     layout = _serving_layout(spark, sf_dir)
-    qvecs = _query_vecs_multi(spark, sf_dir, _MULTI_QIDS)
+    qvecs = _query_vecs_multi(spark, sf_dir, qids)
     probes = {
         qid: probe_cells_py(qvecs[qid], KMEANS_CENTROIDS, _NPROBE)
-        for qid in _MULTI_QIDS
+        for qid in qids
     }
     union_cells = sorted({c for cs in probes.values() for c in cs})
     pairs = spark.createDataFrame(
-        [(qid, c) for qid in _MULTI_QIDS for c in probes[qid]],
+        [(qid, c) for qid in qids for c in probes[qid]],
         "query_id int, cell int",
     )
+    qmeta = spark.createDataFrame(
+        [
+            (qid, pq_adc_tables(qvecs[qid], PQ_BOOKS, _PQ_SUB_DIM), qvecs[qid])
+            for qid in qids
+        ],
+        "query_id int, dtabs array<array<double>>, qv array<double>",
+    )
     codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
-
-    def _per_qid(expr_fn):
-        out = None
-        for qid in _MULTI_QIDS:
-            e = expr_fn(qvecs[qid])
-            cond = F.col("query_id") == qid
-            out = F.when(cond, e) if out is None else out.when(cond, e)
-        return out
-
     cand = (
         spark.read.parquet(layout)
         .filter(F.col("cell").isin(union_cells))
         .join(F.broadcast(pairs), "cell")
+        .join(F.broadcast(qmeta.select("query_id", "dtabs")), "query_id")
         .select(
             "query_id",
             "vec_id",
-            _per_qid(
-                lambda qv: F.round(
-                    pq_adc_score(codes, qv, PQ_BOOKS, _PQ_SUB_DIM), 6
-                )
-            ).alias("adc_dist"),
+            F.round(pq_adc_score_tables_col(codes, F.col("dtabs")), 6).alias(
+                "adc_dist"
+            ),
         )
     )
     w_short = Window.partitionBy("query_id").orderBy(
@@ -2001,14 +2010,14 @@ def sim_topk_ivfpq_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
         .dropDuplicates(["vec_id"])
     )
-    rer = raw.join(F.broadcast(short), "vec_id").select(
-        "query_id",
-        "vec_id",
-        _per_qid(
-            lambda qv: F.round(
-                cosine(F.col("v"), F.array(*[F.lit(x) for x in qv])), 6
-            )
-        ).alias("cosine_sim"),
+    rer = (
+        raw.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qmeta.select("query_id", "qv")), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine_sim"),
+        )
     )
     w_top = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("vec_id")
@@ -2018,3 +2027,12 @@ def sim_topk_ivfpq_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "vec_id", "cosine_sim", "rank")
     )
+
+
+@register("sim_topk_ivfpq_multi", _ivfpq_multi_oracle())
+def sim_topk_ivfpq_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN serving: exact-cosine top-10 per query for the 3-query
+    batch through ONE pruned IVF-PQ + rerank pass — (query_id, vec_id,
+    cosine_sim, rank). The gate instance of :func:`multi_topk_ivfpq`
+    (tools/bench_ann_batch.py runs the same plan at Q=32)."""
+    return multi_topk_ivfpq(spark, sf_dir, _MULTI_QIDS)

@@ -35,24 +35,40 @@ SINGLE = "sim_topk_ivfpq_rerank_pruned"
 BATCH = "sim_topk_ivfpq_multi"
 
 
+BIG_Q = 32  # serving-scale batch (VERDICT r12 ask #1)
+
+
 def run_leg(sf_dir: str) -> dict:
-    from streaming_data_pipeline_capstone_spark.queries.extras import _MULTI_QIDS
+    from streaming_data_pipeline_capstone_spark.queries.extras import (
+        _MULTI_QIDS,
+        multi_topk_ivfpq,
+    )
     from streaming_data_pipeline_capstone_spark.registry import all_queries
     from streaming_data_pipeline_capstone_spark.session import get_spark
 
     spark = get_spark(app_name="ann-batch-bench")
     qs = all_queries()
     spark.range(1).count()  # JVM/codegen warmup
-    out: dict = {"qids": list(_MULTI_QIDS)}
-    for name in (SINGLE, BATCH):
+    out: dict = {"qids": list(_MULTI_QIDS), "big_q": BIG_Q}
+    runners = {
+        SINGLE: lambda: qs[SINGLE](spark, sf_dir),
+        BATCH: lambda: qs[BATCH](spark, sf_dir),
+        # serving-scale batch through the SAME broadcast-distance-table
+        # plan — expression size is O(subs) regardless of Q, so this must
+        # compile and its efficiency should GROW with Q
+        f"batch_q{BIG_Q}": lambda: multi_topk_ivfpq(
+            spark, sf_dir, list(range(BIG_Q))
+        ),
+    }
+    for name, run in runners.items():
         t0 = time.time()
-        qs[name](spark, sf_dir).count()
+        run().count()
         cold = time.time() - t0
         warms = []
         for _ in range(2):
             spark.catalog.clearCache()
             t0 = time.time()
-            qs[name](spark, sf_dir).count()
+            run().count()
             warms.append(time.time() - t0)
         out[name] = {"cold": round(cold, 3), "warm": round(min(warms), 3)}
     spark.stop()
@@ -88,23 +104,31 @@ def main() -> None:
             )
 
     q = len(legs[0]["qids"])
+    big_q = legs[0]["big_q"]
     t_single = min(leg[SINGLE]["warm"] for leg in legs)
     t_batch = min(leg[BATCH]["warm"] for leg in legs)
+    t_big = min(leg[f"batch_q{big_q}"]["warm"] for leg in legs)
     artifact = {
         "sf_dir": args.sf_dir,
         "batch_size": q,
         "single_query_warm_s": t_single,
         "batch_warm_s": t_batch,
         "batch_efficiency": round(q * t_single / t_batch, 2),
+        "big_batch_size": big_q,
+        "big_batch_warm_s": t_big,
+        "big_batch_efficiency": round(big_q * t_single / t_big, 2),
         "note": "efficiency = Q*t_single/t_batch on min-across-legs warm; "
-                ">1 means one batched pass beats Q sequential probes",
+                ">1 means one batched pass beats Q sequential probes; "
+                "big_batch runs the same broadcast-distance-table plan at "
+                f"Q={big_q} (expression size O(subs), independent of Q)",
         "legs": legs,
     }
     with open(os.path.join(REPO, args.out), "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps({k: artifact[k] for k in
                       ("batch_size", "single_query_warm_s", "batch_warm_s",
-                       "batch_efficiency")}))
+                       "batch_efficiency", "big_batch_size",
+                       "big_batch_warm_s", "big_batch_efficiency")}))
 
 
 if __name__ == "__main__":
