@@ -154,22 +154,34 @@ def test_chunk_fixed_tokens_hand_checked(spark, sf_smoke):
 
 
 def test_fixed_encode_matches_trained_on_training_corpus(spark, sf_oracle):
-    """The shipped merge table was trained on sf0.01, so the deploy-shape
-    encode must be row-identical to the per-invocation trainer there —
-    and the shipped literals must equal a fresh training run."""
+    """The shipped merge table was trained to pair exhaustion on sf0.01:
+    its first 8 merges must equal a fresh distributed training run, the
+    full table a fresh driver-side exhaustion train, and — because
+    exhaustion makes every training-corpus word a single token — the
+    deploy encode's n_bpe_tokens must equal n_words exactly, with
+    n_words/n_sym_tokens agreeing with the 8-merge trainer's encode."""
+    from streaming_data_pipeline_capstone_spark.operators.bpe import train_bpe
     from streaming_data_pipeline_capstone_spark.queries.bpe_vocab import MERGES
     from streaming_data_pipeline_capstone_spark.queries.tokenizer import (
+        _word_counts,
         tokenizer_bpe_encode_fixed,
     )
 
     _, fresh = _bpe_train_chain(spark, sf_oracle)
-    assert fresh == [tuple(m) for m in MERGES]
+    assert fresh == [tuple(m) for m in MERGES[: len(fresh)]]
+    wc = [(r.word, int(r.cnt)) for r in _word_counts(spark, sf_oracle).collect()]
+    assert [tuple(m) for m in train_bpe(wc, None)] == [tuple(m) for m in MERGES]
 
     fixed = {
-        tuple(r) for r in tokenizer_bpe_encode_fixed(spark, sf_oracle).collect()
+        r.doc_id: r for r in tokenizer_bpe_encode_fixed(spark, sf_oracle).collect()
     }
-    dyn = {tuple(r) for r in tokenizer_bpe_encode(spark, sf_oracle).collect()}
-    assert fixed == dyn
+    dyn = {r.doc_id: r for r in tokenizer_bpe_encode(spark, sf_oracle).collect()}
+    assert set(fixed) == set(dyn)
+    for doc_id, fr in fixed.items():
+        dr = dyn[doc_id]
+        assert (fr.n_words, fr.n_sym_tokens) == (dr.n_words, dr.n_sym_tokens)
+        assert fr.n_bpe_tokens == fr.n_words  # exhaustion: 1 token/word
+        assert fr.n_bpe_tokens <= dr.n_bpe_tokens  # more merges, never fewer tokens
 
 
 def test_bpe_oracle_survives_early_dry_corpus(spark, tmp_path_factory):
