@@ -133,6 +133,38 @@ def run_leg(sf_dir: str) -> dict:
         streaming = {"error": f"{type(exc).__name__}: {exc}"}
     spark.catalog.clearCache()
 
+    # Deep warmup (VERDICT r12 ask #7): exercise the engine paths the
+    # suite leans on — parquet scan, codegen'd regex/explode, hash-agg
+    # and window exchanges, a broadcast join — so the first measured
+    # queries aren't paying first-use JIT/allocator cost. r12 leg 1 read
+    # a 12.7 s quality_lm_perplexity warm (vs 1.2-1.6 s in other legs)
+    # with only the range(1) warmup; streaming stays FIRST (its rates
+    # must be read in a fresh session), the deep warmup runs after it.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    langs = d.groupBy("lang").agg(F.count("*").alias("n"))
+    (
+        d.select(
+            "lang", F.explode(F.split(F.lower("text"), "\\s+")).alias("w")
+        )
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("w"))
+            ),
+        )
+        .filter("r <= 5")
+        .join(F.broadcast(langs), "lang")
+        .count()
+    )
+    spark.catalog.clearCache()
+
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     rows: dict[str, int] = {}

@@ -78,15 +78,17 @@ from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
     write_epoch_idempotent,
 )
 
-# 1 hex char of the md5 fingerprint → 16 index buckets (uniform by
-# construction) — sized for gate micro-batches of hundreds of docs; at
-# 100 TB batch sizes raise the prefix length (4 → 65,536 buckets), the
-# recipe is unchanged.
+# Fingerprint-index fan-out: 1 hex char of the md5 (16 buckets) is the
+# gate default; a stream sized with ``expected_batch_docs`` derives the
+# prefix length from the dedup_stream rule (state_bucket_prefix_len) so
+# the expected per-batch touched fraction stays ≤ MAX_TOUCHED_FRAC at
+# any batch size. Like every state bucket, the fan-out must stay fixed
+# for the life of one index.
 _FP_PREFIX_LEN = 1
 
 
-def _fp_bucket(fp):
-    return F.substring(fp, 1, _FP_PREFIX_LEN)
+def _fp_bucket(fp, prefix_len: int = _FP_PREFIX_LEN):
+    return F.substring(fp, 1, prefix_len)
 
 
 VERDICT_COLUMNS = [
@@ -194,6 +196,7 @@ def _verdict_batch(
     beta: list[float],
     state_dir: str,
     out_dir: str,
+    fp_prefix_len: int = _FP_PREFIX_LEN,
 ) -> None:
     """One micro-batch: dedup verdict against the persistent fingerprint
     index + the stateless columns; append this epoch's verdicts and the
@@ -203,23 +206,30 @@ def _verdict_batch(
 
     spark = batch.sparkSession
     fp_path = os.path.join(state_dir, "fp_min")
-    b = batch.select("doc_id", "lang", "text", fingerprint("text").alias("fp"))
-    b = b.withColumn("batch_min", F.min("doc_id").over(Window.partitionBy("fp")))
-    base = b = b.persist()  # consumed twice: verdicts + index write
+    # ONE persisted projection feeds every per-epoch job: the bucket
+    # collect below doubles as its materializer (r13 throughput fix —
+    # the r12 shape scanned the raw batch a second time for the bucket
+    # list), then the verdict write and the fp_min write both read the
+    # cache instead of the source.
+    base = batch.select(
+        "doc_id", "lang", "text", fingerprint("text").alias("fp")
+    ).persist()
     # The fingerprint index is bucketed by an fp prefix
     # (write_epoch_idempotent's bkt= level); each batch reads ONLY the
     # bucket directories its own fingerprints hash to — the bucket list
     # is a per-batch literal, so per-micro-batch state I/O is Θ(batch),
-    # not Θ(accumulated index). Collected from the RAW batch projection
-    # (one map-only job — no window shuffle on this path).
+    # not Θ(accumulated index).
     bkts = [
         r[0]
-        for r in batch.select(
-            _fp_bucket(fingerprint("text")).alias("bk")
+        for r in base.select(
+            _fp_bucket(F.col("fp"), fp_prefix_len).alias("bk")
         )
         .distinct()
         .collect()
     ]
+    b = base.withColumn(
+        "batch_min", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
     idx = read_index_or_none(
         spark, fp_path, exclude_epoch=epoch_id, buckets=bkts
     )
@@ -243,10 +253,10 @@ def _verdict_batch(
     )
     write_epoch_idempotent(verdicts, out_dir, epoch_id)
     write_epoch_idempotent(
-        b.groupBy("fp").agg(F.min("doc_id").alias("min_doc")),
+        base.groupBy("fp").agg(F.min("doc_id").alias("min_doc")),
         fp_path,
         epoch_id,
-        bucket=_fp_bucket(F.col("fp")),
+        bucket=_fp_bucket(F.col("fp"), fp_prefix_len),
     )
     base.unpersist()
 
@@ -258,13 +268,30 @@ def start_verdict_stream(
     state_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    expected_batch_docs: int | None = None,
 ) -> StreamingQuery:
     """Start the verdict job over a (doc_id, lang, text) document stream.
     Verdicts land under ``out_dir`` (epoch-partitioned parquet); the
-    fingerprint dedup index under ``state_dir``."""
+    fingerprint dedup index under ``state_dir``.
+
+    ``expected_batch_docs`` sizes the fp-index bucket fan-out by the
+    dedup_stream rule; omitted, the gate default (16 buckets) applies.
+    Keep the value fixed across restarts of the same ``state_dir``."""
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        state_bucket_prefix_len,
+    )
+
+    fp_prefix_len = (
+        state_bucket_prefix_len(expected_batch_docs)
+        if expected_batch_docs is not None
+        else _FP_PREFIX_LEN
+    )
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        _verdict_batch(batch, epoch_id, beta, state_dir, out_dir)
+        _verdict_batch(
+            batch, epoch_id, beta, state_dir, out_dir,
+            fp_prefix_len=fp_prefix_len,
+        )
 
     w = stream_docs.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -267,3 +267,105 @@ def test_dedup_stream_index_reads_are_bucket_pruned(spark, tmp_path):
         assert pruned_files
         assert all(f"/bkt={probe[0]}/" in f for f in pruned_files)
         assert len(pruned_files) < len(set(full.inputFiles()))
+
+
+def test_state_bucket_fanout_rule():
+    """The fan-out rule (VERDICT r12 ask #2): the returned prefix length
+    must clear the expected-touched-fraction bound 1-exp(-B/16^L) ≤ f,
+    MINIMALLY (one level down violates it), across batch-size decades."""
+    import math
+
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        _MAX_PREFIX_LEN,
+        MAX_TOUCHED_FRAC,
+        state_bucket_fanout,
+        state_bucket_prefix_len,
+    )
+
+    for b in (1, 10, 100, 500, 2500, 40_000, 10**6, 10**10):
+        ell = state_bucket_prefix_len(b)
+        frac = 1 - math.exp(-b / 16**ell)
+        assert frac <= MAX_TOUCHED_FRAC or ell == _MAX_PREFIX_LEN, (b, ell)
+        if ell > 1:
+            assert 1 - math.exp(-b / 16 ** (ell - 1)) > MAX_TOUCHED_FRAC, (b, ell)
+        assert state_bucket_fanout(b) == 16**ell
+    # gate-sized batches keep the small default; big batches scale up
+    assert state_bucket_prefix_len(1) == 1
+    assert state_bucket_prefix_len(500) >= 2
+    assert state_bucket_prefix_len(10**10) == _MAX_PREFIX_LEN
+
+
+def test_rule_sized_stream_prunes_below_touched_bound(spark, sf_smoke, tmp_path):
+    """Run the verdict stream with expected_batch_docs (rule-derived
+    fan-out ≫ per-batch prefixes): each batch's probed bucket set must be
+    a strict sliver of the index — touched buckets ≤ batch docs, and the
+    final batch's pruned read lists < 30% of the index's files."""
+    from streaming_data_pipeline_capstone_spark.operators.textstats import (
+        fingerprint,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.replay import (
+        replay_to_files,
+        stream_from_replay,
+    )
+    from streaming_data_pipeline_capstone_spark.streaming.curation_stream import (
+        _fp_bucket,
+        curation_verdicts_batch,
+        read_index,
+        start_verdict_stream,
+    )
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        state_bucket_prefix_len,
+    )
+
+    docs, beta = _gate_fixture(spark, sf_smoke)
+    n_docs = docs.count()
+    chunks = 10
+    batch_docs = max(1, n_docs // chunks)
+    prefix_len = state_bucket_prefix_len(batch_docs)
+    assert prefix_len >= 2, "fixture must exercise a rule-grown fan-out"
+
+    replay_dir = str(tmp_path / "replay")
+    schema = replay_to_files(docs, replay_dir, chunks, order_col="doc_id")
+    out_dir = str(tmp_path / "verdicts")
+    state_dir = str(tmp_path / "state")
+    q = start_verdict_stream(
+        stream_from_replay(spark, replay_dir, schema),
+        beta,
+        out_dir,
+        state_dir,
+        str(tmp_path / "ckpt"),
+        expected_batch_docs=batch_docs,
+    )
+    q.awaitTermination()
+
+    # verdicts still equal the batch twin at the grown fan-out
+    want = sorted(tuple(r) for r in curation_verdicts_batch(docs, beta).collect())
+    got = sorted(
+        tuple(r)
+        for r in read_index(spark, out_dir)
+        .select(*[c for c in curation_verdicts_batch(docs, beta).columns])
+        .collect()
+    )
+    assert got == want
+
+    fp_path = os.path.join(state_dir, "fp_min")
+    full = spark.read.parquet(fp_path)
+    all_files = full.inputFiles()
+    last = docs.orderBy(F.desc("doc_id")).limit(batch_docs)
+    touched = [
+        r[0]
+        for r in last.select(
+            _fp_bucket(fingerprint("text"), prefix_len).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    assert len(touched) <= batch_docs
+    pruned_files = read_index(spark, fp_path, buckets=touched).inputFiles()
+    assert all(
+        any(f"/bkt={b}/" in f for b in touched) for f in pruned_files
+    )
+    assert len(pruned_files) < 0.3 * len(all_files), (
+        len(pruned_files),
+        len(all_files),
+    )

