@@ -251,13 +251,25 @@ def _verdict_batch(
     verdicts = _final_verdicts(
         stateless_verdict_columns(b.withColumn("keep_dedup", keep_dedup), beta)
     )
-    write_epoch_idempotent(verdicts, out_dir, epoch_id)
-    write_epoch_idempotent(
-        base.groupBy("fp").agg(F.min("doc_id").alias("min_doc")),
-        fp_path,
-        epoch_id,
-        bucket=_fp_bucket(F.col("fp"), fp_prefix_len),
-    )
+    # The two epoch writes are independent consumers of the persisted
+    # projection (already materialized by the bucket collect) writing to
+    # DISTINCT paths — run them on concurrent scheduler threads so their
+    # job scheduling and commit rounds overlap instead of stacking. Both
+    # must succeed before the epoch commits: result() re-raises, so a
+    # failed write still fails the batch and triggers replay.
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(2) as pool:
+        fut_v = pool.submit(write_epoch_idempotent, verdicts, out_dir, epoch_id)
+        fut_s = pool.submit(
+            write_epoch_idempotent,
+            base.groupBy("fp").agg(F.min("doc_id").alias("min_doc")),
+            fp_path,
+            epoch_id,
+            bucket=_fp_bucket(F.col("fp"), fp_prefix_len),
+        )
+        fut_v.result()
+        fut_s.result()
     base.unpersist()
 
 
