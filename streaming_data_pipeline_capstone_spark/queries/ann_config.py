@@ -23,6 +23,15 @@ subspaces of 2 dims at k=64 is the winner: probe-ADC 0.64, composed
 IVF-PQ+re-rank 0.915 at the same probed fraction — and the codebook
 literal (32·64·2 floats) is exactly the size of the old 16·64·4.
 Shipped config: 192 bits/vector (10.7x vs float32).
+
+r13 (ANN_CONFIG_LATENCY_r13.json, VERDICT r12 ask #4): the latency axis,
+measured — the full pruned-probe plan at sf0.1 under both finalist
+configs on identically-built layouts reads 2.09 s warm for 32x2x64 vs
+3.00 s for 16x4x256 (ratio 0.70): the shipped config is FASTER as well
+as +0.02 recall (256-codeword ADC tables mean wider element_at literals
+per lookup, outweighing the halved sub count). The r12 1.36x
+sim_topk_ivfpq_rerank_pruned slowdown was the move off the r11 16x4x64
+books, not evidence for 16x256. Decision: KEEP 32x2x64.
 """
 
 KMEANS_K = 8
