@@ -80,6 +80,12 @@ def probe_cells_py(
     return [-neg for _, neg in ranked[:nprobe]]
 
 
+# Layout schema version: bump when the stored column set changes so stale
+# layouts rebuild once. v2 (r13): embeddings metadata columns (e.g.
+# label) are stored in-layout for predicate-filtered ANN.
+_LAYOUT_SCHEMA_VERSION = 2
+
+
 def cell_layout_path(sf_dir: str, spill: int = 1) -> str:
     slug = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     base = os.path.basename(os.path.abspath(sf_dir).rstrip("/")) or "root"
@@ -159,18 +165,26 @@ def ensure_cell_layout(
             meta.get("source_mtime") == src_mtime
             and meta.get("model_hash") == model_hash
             and meta.get("spill", 1) == spill
+            and meta.get("schema_version") == _LAYOUT_SCHEMA_VERSION
         ):
             return out
     emb = read_table(spark, sf_dir, "embeddings")
+    # metadata columns (e.g. label) ride IN the layout: filtered ANN
+    # evaluates its predicate inside the pruned codes scan (row-group
+    # filter under the partition prune) instead of joining a
+    # corpus-sized id->metadata map at serving time
+    meta_cols = [c for c in emb.columns if c not in ("vec_id", "embedding")]
     vecs = emb.select(
         "vec_id",
         "embedding",
+        *meta_cols,
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     if spill > 1:
         assigned = vecs.select(
             "vec_id",
             "embedding",
+            *meta_cols,
             *pq_encode_cols(F.col("v"), pq_books, pq_sub_dim),
             F.explode(assign_cells_topn(F.col("v"), centroids, spill)).alias(
                 "cell"
@@ -180,6 +194,7 @@ def ensure_cell_layout(
         assigned = vecs.select(
             "vec_id",
             "embedding",
+            *meta_cols,
             *pq_encode_cols(F.col("v"), pq_books, pq_sub_dim),
             assign_cells(F.col("v"), centroids).alias("cell"),
         )
@@ -196,6 +211,7 @@ def ensure_cell_layout(
                 "source_mtime": src_mtime,
                 "model_hash": model_hash,
                 "spill": spill,
+                "schema_version": _LAYOUT_SCHEMA_VERSION,
                 "sf_dir": os.path.abspath(sf_dir),
             },
             fh,

@@ -2036,3 +2036,112 @@ def sim_topk_ivfpq_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine_sim, rank). The gate instance of :func:`multi_topk_ivfpq`
     (tools/bench_ann_batch.py runs the same plan at Q=32)."""
     return multi_topk_ivfpq(spark, sf_dir, _MULTI_QIDS)
+
+
+# -- predicate-filtered ANN serving (r13) --------------------------------------
+# The other axis a vector store must serve: "nearest neighbors of q AMONG
+# rows satisfying a metadata predicate" (per-tenant search, lang-scoped
+# retrieval, license-filtered training data). The scale-correct plan
+# keeps the predicate INSIDE the pruned codes scan: metadata columns ride
+# in the cell-partitioned layout (ann_layout schema v2), so the filter is
+# a parquet row-group predicate UNDER the partition prune — never a join
+# against a corpus-sized id->metadata map, and no post-hoc filtering of
+# an unfiltered top-k (which silently returns < k). Selectivity rule: a
+# predicate keeping fraction p of rows thins every probed cell by ~p, so
+# a serving tier sizes nprobe/rerank for k_target/p; at this gate's
+# p ≈ 0.1 the _RERANK=100 shortlist still carries ~10x the final k.
+
+_FILTER_LABEL = 3
+
+
+def _ivfpq_filtered_oracle() -> str:
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)",
+        _values_cents_cte("cb", KMEANS_CENTROIDS),
+        _lloyd_assign_cte("af", "e", "cb", _EMB_DIM),
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+        f"""probe AS (SELECT cell FROM cb, q
+            ORDER BY list_cosine_similarity(cv, qv) DESC, cell ASC LIMIT {_NPROBE})""",
+        f"flt AS (SELECT vec_id FROM e WHERE label = {_FILTER_LABEL})",
+    ]
+    for s in range(_PQ_SUBS):
+        lo = s * _PQ_SUB_DIM + 1
+        ctes.append(
+            f"e{s} AS (SELECT vec_id, list_slice(v, {lo}, {lo + _PQ_SUB_DIM - 1}) AS v FROM e)"
+        )
+        ctes.append(_values_cents_cte(f"b{s}", PQ_BOOKS[s]))
+        ctes.append(_lloyd_assign_cte(f"s{s}_af", f"e{s}", f"b{s}", _PQ_SUB_DIM))
+    joins, total = _adc_short_ctes(
+        ctes,
+        " JOIN af USING (vec_id) JOIN probe ON af.cell = probe.cell"
+        " JOIN flt USING (vec_id)",
+    )
+    ctes.append(
+        f"""short AS (SELECT a0.vec_id, round({total}, 6) AS adc_dist
+            FROM s0_af a0 {joins}
+            ORDER BY adc_dist ASC, vec_id ASC LIMIT {_RERANK})"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT e.vec_id, CAST(e.label AS INT) AS label,
+           round(list_cosine_similarity(e.v, q.qv), 6) AS cosine_sim
+    FROM e JOIN short USING (vec_id), q
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """
+    )
+
+
+@register("sim_topk_ivfpq_filtered", _ivfpq_filtered_oracle())
+def sim_topk_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN probe: exact-cosine top-10 among label={lbl} vectors
+    only, through the partition-pruned IVF-PQ + rerank plan with the
+    label predicate evaluated inside the pruned codes scan —
+    (vec_id, label, cosine_sim).""".format(lbl=_FILTER_LABEL)
+    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+        probe_cells_py,
+    )
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        pq_adc_score,
+    )
+
+    layout = _serving_layout(spark, sf_dir)
+    query = _query_vec(spark, sf_dir)
+    probes = probe_cells_py(query, KMEANS_CENTROIDS, _NPROBE)
+    codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
+    surv = (
+        spark.read.parquet(layout)
+        .filter(F.col("cell").isin(probes))
+        .filter(F.col("label") == _FILTER_LABEL)
+    )
+    short = (
+        surv.select(
+            "vec_id",
+            F.round(pq_adc_score(codes, query, PQ_BOOKS, _PQ_SUB_DIM), 6).alias(
+                "adc_dist"
+            ),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(_RERANK)
+    )
+    qcol = F.array(*[F.lit(x) for x in query])
+    raw = (
+        spark.read.parquet(layout)
+        .filter(F.col("cell").isin(probes))
+        .filter(F.col("label") == _FILTER_LABEL)
+        .select("vec_id", "label", "embedding")
+        .join(F.broadcast(short.select("vec_id")), "vec_id")
+    )
+    return (
+        raw.select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.round(
+                cosine(F.transform("embedding", lambda x: x.cast("double")), qcol),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -98,15 +98,19 @@ def _load_all() -> None:
 # the r10 stream_curation_verdicts delivery gap hid behind exactly that
 # tolerance.
 _SAMPLE_FIRST = [
+    # new or semantically changed in r13 (filtered ANN; the broadcast
+    # distance-table batched probe; the segmenting deploy encode at the
+    # exhaustion vocab; the guarded chunk-pack uids)
+    "sim_topk_ivfpq_filtered",
+    "sim_topk_ivfpq_multi",
+    "tokenizer_bpe_encode_fixed",
+    "pipeline_chunk_pack",
     # new in r12
     "tokenizer_bpe_train",
     "tokenizer_bpe_encode",
-    "tokenizer_bpe_encode_fixed",
     "chunk_fixed_tokens",
-    "pipeline_chunk_pack",
     "curation_domain_cap",
     "retrieval_hybrid_rrf_ann",
-    "sim_topk_ivfpq_multi",
     "text_bm25_multi_topk",
     "corpus_health_lm_by_source",
     # new in r11

@@ -421,3 +421,49 @@ def test_multi_query_probe_slice_matches_single(spark, sf_oracle):
         assert rows[0].cosine_sim != rows[-1].cosine_sim or len(
             {r.vec_id for r in rows}
         ) == 10
+
+
+def test_filtered_probe_respects_predicate_and_prunes(spark, sf_oracle):
+    """sim_topk_ivfpq_filtered (r13): every result carries the filter
+    label; the predicate is evaluated INSIDE the pruned scan (pushed to
+    the parquet source, no corpus-sized metadata join); and the filtered
+    top-10 overlaps the exact filtered brute-force top-10 at the probe's
+    certified recall level."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_capstone_spark.queries.extras import (
+        _FILTER_LABEL,
+        _double_vecs,
+        sim_topk_ivfpq_filtered,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    out = sim_topk_ivfpq_filtered(spark, sf_oracle)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r.label == _FILTER_LABEL for r in rows)
+
+    # predicate pushdown pin: the label filter reaches the scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "label" in plan.split("PushedFilters", 1)[1][:400], plan[:2000]
+
+    # exact filtered brute force (tiny at sf0.01) — overlap >= 8, the
+    # spill-test convention for probe-vs-exact agreement
+    emb = read_table(spark, sf_oracle, "embeddings")
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    exact = [
+        r.vec_id
+        for r in cosine_topk(
+            emb.filter(F.col("label") == _FILTER_LABEL), q, k=10
+        ).collect()
+    ]
+    got = {r.vec_id for r in rows}
+    assert len(set(exact) & got) >= 8, (exact, got)

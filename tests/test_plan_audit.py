@@ -185,6 +185,7 @@ SHUFFLE_BUDGET = {
     "sim_topk_ivfpq_pruned": 0,  # partition-pruned scan of code cols + ADC
     "sim_pq_topk_rerank_fixed": 0,  # codes scan -> top-R -> broadcast join raw scan
     "sim_topk_ivfpq_rerank_pruned": 0,  # pruned codes scan -> top-R -> pruned raw fetch
+    "sim_topk_ivfpq_filtered": 0,  # same plan with the label predicate inside both pruned scans
     # the one exchange is dropDuplicates over the TakeOrdered shortlist —
     # a <= RERANK*SPILL-row frame, never the corpus
     "sim_topk_ivfpq_rerank_spill": 1,
@@ -259,6 +260,7 @@ MUST_PUSH_FILTER = {
     "tokenizer_bpe_encode_fixed",
     "retrieval_hybrid_rrf_ann",
     "sim_topk_ivfpq_multi",
+    "sim_topk_ivfpq_filtered",  # the label predicate must stay in the scan
     "retrieval_hybrid_rrf",
     "rollup_events_multires",
     "scalar_clean_filter",
@@ -297,6 +299,12 @@ PQ_CODE_SCAN_QUERIES = {
     "sim_topk_ivfpq_multi",  # the batched probe reads the same layout
 }
 MAX_PQ_SCAN_COLS = 32 + 2  # c0..c31 + vec_id + cell
+
+# The filtered probe legitimately reads ONE more column: the label
+# predicate is evaluated inside the pruned codes scan (that is the
+# feature), so its code scan is c0..c31 + vec_id + cell + label.
+FILTERED_PQ_SCAN_QUERIES = {"sim_topk_ivfpq_filtered"}
+MAX_FILTERED_PQ_SCAN_COLS = MAX_PQ_SCAN_COLS + 1
 
 # The streaming-verdict gate query returns its job's OWN output parquet —
 # all 9 verdict columns are the payload, so the full-width read IS the
@@ -352,6 +360,8 @@ def test_scan_column_pruning(plan_stats):
         for limit in (
             MAX_PQ_SCAN_COLS
             if name in PQ_CODE_SCAN_QUERIES
+            else MAX_FILTERED_PQ_SCAN_COLS
+            if name in FILTERED_PQ_SCAN_QUERIES
             else MAX_PAYLOAD_SCAN_COLS
             if name in FULL_PAYLOAD_SCAN_QUERIES
             else MAX_SCAN_COLS,
