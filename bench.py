@@ -108,9 +108,10 @@ BENCH_QUERIES = [
     "curation_domain_cap",           # two-phase salted per-source top-K
     "retrieval_hybrid_rrf_ann",      # hybrid RRF with the pruned ANN dense arm
     "sim_topk_ivfpq_multi",          # 3-query batched ANN serving pass
-    # operator NEW in round 13, benched from birth. NOTE: totals grew
+    # operators NEW in round 13, benched from birth. NOTE: totals grew
     # again; compare per-query across rounds.
     "sim_topk_ivfpq_filtered",       # predicate-filtered pruned ANN probe
+    "retrieval_hybrid_rrf_multi",    # batched hybrid fusion (1 dense + 1 sparse pass)
 ]
 
 WARM_COLD_TOL = 1.25  # warm may exceed cold by noise, not by 25%

@@ -102,6 +102,7 @@ _SAMPLE_FIRST = [
     # distance-table batched probe; the segmenting deploy encode at the
     # exhaustion vocab; the guarded chunk-pack uids)
     "sim_topk_ivfpq_filtered",
+    "retrieval_hybrid_rrf_multi",
     "sim_topk_ivfpq_multi",
     "tokenizer_bpe_encode_fixed",
     "pipeline_chunk_pack",

@@ -46,6 +46,7 @@ BNLJ_OK = {
     "text_bm25_multi_topk",  # same broadcast stats frame
     "retrieval_hybrid_rrf",  # same, plus the broadcast 1-row query vector
     "retrieval_hybrid_rrf_ann",  # the BM25 arm's broadcast stats frame
+    "retrieval_hybrid_rrf_multi",  # same BM25 stats frame in the batched arm
 }
 
 # Audited exchange count per query (broadcasts excluded). UPPER bounds:
@@ -167,6 +168,11 @@ SHUFFLE_BUDGET = {
     "retrieval_hybrid_rrf": 5,
     # same fusion with the partition-pruned IVF-PQ+rerank dense arm
     "retrieval_hybrid_rrf_ann": 5,
+    # batched fusion = batched dense (3) + batched BM25 (6) + the
+    # full-outer SMJ on (query_id, id) over <=2*CAND-row-per-query
+    # frames (2) + the per-query fusion rank window (1) — every
+    # exchange after the two corpus passes carries ranks, not data
+    "retrieval_hybrid_rrf_multi": 12,
     # batched serving: query_id-fanned candidate exchange + per-query
     # shortlist and top-k rank windows (query_id-partitioned)
     "sim_topk_ivfpq_multi": 3,
@@ -259,6 +265,7 @@ MUST_PUSH_FILTER = {
     "tokenizer_bpe_encode",  # IsNotNull(text) reaches both documents scans
     "tokenizer_bpe_encode_fixed",
     "retrieval_hybrid_rrf_ann",
+    "retrieval_hybrid_rrf_multi",
     "sim_topk_ivfpq_multi",
     "sim_topk_ivfpq_filtered",  # the label predicate must stay in the scan
     "retrieval_hybrid_rrf",
@@ -297,6 +304,7 @@ PQ_CODE_SCAN_QUERIES = {
     "sim_topk_ivfpq_rerank_spill",
     "retrieval_hybrid_rrf_ann",  # its dense arm reads the codes layout
     "sim_topk_ivfpq_multi",  # the batched probe reads the same layout
+    "retrieval_hybrid_rrf_multi",  # its dense arm is the batched probe
 }
 MAX_PQ_SCAN_COLS = 32 + 2  # c0..c31 + vec_id + cell
 

@@ -194,3 +194,36 @@ def test_rrf_ann_dense_arm_matches_serving_probe(spark, sf_oracle):
     # dense-ranked row it does contain must agree with the probe order
     assert dense_top == probe[: len(dense_top)]
     assert len(dense_top) >= 3, "vacuous: fused list carries no dense leaders"
+
+
+def test_multi_hybrid_slice_matches_single(spark, sf_oracle):
+    """retrieval_hybrid_rrf_multi batches both arms; its qid=0 slice must
+    be exactly retrieval_hybrid_rrf_ann's output (same dense probe, same
+    standing sparse query, same fusion), and every query must return a
+    full per-query top-20."""
+    from streaming_data_pipeline_capstone_spark.queries.extras import (
+        retrieval_hybrid_rrf_ann,
+        retrieval_hybrid_rrf_multi,
+    )
+    from streaming_data_pipeline_capstone_spark.queries.retrieval import (
+        _MULTI_QUERIES,
+        _TOPK,
+    )
+
+    batch = retrieval_hybrid_rrf_multi(spark, sf_oracle).collect()
+    single = [
+        (r.id, r.r_dense, r.r_sparse, r.rrf_micro)
+        for r in retrieval_hybrid_rrf_ann(spark, sf_oracle).collect()
+    ]
+    slice0 = sorted(
+        (
+            (r.id, r.r_dense, r.r_sparse, r.rrf_micro, r.rank)
+            for r in batch
+            if r.query_id == 0
+        ),
+        key=lambda t: t[4],
+    )
+    assert [(i, d, s, m) for i, d, s, m, _ in slice0] == single
+    for qid in _MULTI_QUERIES:
+        rows = [r for r in batch if r.query_id == qid]
+        assert len(rows) == _TOPK, qid
