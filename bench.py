@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     # again; compare per-query across rounds.
     "sim_topk_ivfpq_filtered",       # predicate-filtered pruned ANN probe
     "retrieval_hybrid_rrf_multi",    # batched hybrid fusion (1 dense + 1 sparse pass)
+    "sim_topk_ivfpq_rerank_incr",    # probe over the epoch-appended incremental index
 ]
 
 WARM_COLD_TOL = 1.25  # warm may exceed cold by noise, not by 25%

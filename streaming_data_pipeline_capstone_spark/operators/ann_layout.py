@@ -221,3 +221,61 @@ def ensure_cell_layout(
 
 def read_cell_layout(spark: SparkSession, layout_path: str) -> DataFrame:
     return spark.read.parquet(layout_path)
+
+
+def encode_for_layout(
+    vecs_df: DataFrame,
+    centroids: list[list[float]],
+    pq_books: list[list[list[float]]],
+    pq_sub_dim: int,
+) -> DataFrame:
+    """Assign + PQ-encode a (vec_id, embedding, meta...) frame into the
+    layout schema (vec_id, embedding, meta..., c0..c{S-1}, cell) — the
+    shared projection of the full build and the incremental append."""
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        assign_cells,
+        pq_encode_cols,
+    )
+
+    meta_cols = [c for c in vecs_df.columns if c not in ("vec_id", "embedding")]
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return vecs_df.select(
+        "vec_id",
+        "embedding",
+        *meta_cols,
+        *pq_encode_cols(v, pq_books, pq_sub_dim),
+        assign_cells(v, centroids).alias("cell"),
+    )
+
+
+def append_cell_epoch(
+    spark: SparkSession,
+    vecs_df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    pq_books: list[list[list[float]]],
+    pq_sub_dim: int,
+    epoch_id: int,
+) -> None:
+    """Incremental ANN index maintenance: encode ONLY the new vectors and
+    land them under ``<path>/cell=<c>/epoch=<e>/`` with dynamic-partition
+    overwrite — the same idempotent-epoch recipe as the streaming state
+    indexes (streaming/dedup_stream.write_epoch_idempotent), applied to
+    the serving layout. A replayed batch overwrites exactly its own
+    (cell, epoch) partitions, so at-least-once delivery stays
+    effectively-once storage; probes keep pruning on the LEADING cell
+    level and simply see every epoch of the probed cells (the
+    main-index + delta-segments refresh pattern — FAISS/Lucene style —
+    with rebuild-as-compaction: rewrite all epochs into a sentinel the
+    way compact_index does for the dedup indexes). Work is Θ(new
+    vectors): the existing index is never read or rewritten.
+    """
+    encoded = encode_for_layout(vecs_df, centroids, pq_books, pq_sub_dim)
+    (
+        encoded.withColumn("epoch", F.lit(int(epoch_id)))
+        .repartition("cell")  # one file per (cell, epoch)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "epoch")
+        .parquet(path)
+    )

@@ -2336,3 +2336,102 @@ def retrieval_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOPK)
         .select("query_id", "id", "r_dense", "r_sparse", "rrf_micro", "rank")
     )
+
+
+# -- incremental ANN index maintenance (r13) -----------------------------------
+# A serving index must absorb NEW vectors without a rebuild. The layout
+# gains an epoch sublevel under cell (cell=<c>/epoch=<e>), appends run
+# Θ(new vectors) through the idempotent dynamic-overwrite recipe the
+# streaming state indexes use, and probes are UNCHANGED: they prune on
+# the leading cell level and read every epoch of the probed cells.
+# Rebuild-as-compaction collapses epochs exactly like compact_index.
+# The gate query builds the index in two generations (80% as epoch 0,
+# the rest appended as epoch 1, split by pmod so it needs no count job)
+# and probes it; the oracle is the SAME full-corpus pruned-rerank SQL —
+# a hash match proves the incrementally-built index answers identically
+# to the one-shot layout.
+
+
+def _incr_layout(spark: SparkSession, sf_dir: str) -> str:
+    import json as _json
+    import os as _os
+
+    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+        _model_hash,
+        _source_mtime,
+        append_cell_epoch,
+        cell_layout_path,
+    )
+
+    path = cell_layout_path(sf_dir) + "-incr"
+    marker = _os.path.join(path, "_INCR_META.json")
+    src_mtime = _source_mtime(sf_dir)
+    model_hash = _model_hash(KMEANS_CENTROIDS, PQ_BOOKS, _PQ_SUB_DIM)
+    if _os.path.exists(marker):
+        with open(marker) as fh:
+            meta = _json.load(fh)
+        if (
+            meta.get("source_mtime") == src_mtime
+            and meta.get("model_hash") == model_hash
+        ):
+            return path
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+    delta = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    append_cell_epoch(
+        spark, base, path, KMEANS_CENTROIDS, PQ_BOOKS, _PQ_SUB_DIM, 0
+    )
+    append_cell_epoch(
+        spark, delta, path, KMEANS_CENTROIDS, PQ_BOOKS, _PQ_SUB_DIM, 1
+    )
+    with open(marker, "w") as fh:
+        _json.dump({"source_mtime": src_mtime, "model_hash": model_hash}, fh)
+    return path
+
+
+@register("sim_topk_ivfpq_rerank_incr", _ivfpq_rerank_oracle())
+def sim_topk_ivfpq_rerank_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruned serving probe over the INCREMENTALLY-built index (80%
+    epoch 0 + 20% appended as epoch 1): identical output to
+    sim_topk_ivfpq_rerank_pruned — same oracle — proving index freshness
+    costs Θ(new vectors), not a rebuild."""
+    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+        probe_cells_py,
+    )
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        pq_adc_score,
+    )
+
+    layout = _incr_layout(spark, sf_dir)
+    query = _query_vec(spark, sf_dir)
+    probes = probe_cells_py(query, KMEANS_CENTROIDS, _NPROBE)
+    codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
+    surv = spark.read.parquet(layout).filter(F.col("cell").isin(probes))
+    short = (
+        surv.select(
+            "vec_id",
+            F.round(pq_adc_score(codes, query, PQ_BOOKS, _PQ_SUB_DIM), 6).alias(
+                "adc_dist"
+            ),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(_RERANK)
+    )
+    qcol = F.array(*[F.lit(x) for x in query])
+    raw = (
+        spark.read.parquet(layout)
+        .filter(F.col("cell").isin(probes))
+        .select("vec_id", "embedding")
+        .join(F.broadcast(short.select("vec_id")), "vec_id")
+    )
+    return (
+        raw.select(
+            "vec_id",
+            F.round(
+                cosine(F.transform("embedding", lambda x: x.cast("double")), qcol),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -103,6 +103,7 @@ _SAMPLE_FIRST = [
     # exhaustion vocab; the guarded chunk-pack uids)
     "sim_topk_ivfpq_filtered",
     "retrieval_hybrid_rrf_multi",
+    "sim_topk_ivfpq_rerank_incr",
     "sim_topk_ivfpq_multi",
     "tokenizer_bpe_encode_fixed",
     "pipeline_chunk_pack",

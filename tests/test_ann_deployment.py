@@ -467,3 +467,69 @@ def test_filtered_probe_respects_predicate_and_prunes(spark, sf_oracle):
     ]
     got = {r.vec_id for r in rows}
     assert len(set(exact) & got) >= 8, (exact, got)
+
+
+def test_incremental_index_appends_idempotent_and_pruned(spark, sf_oracle):
+    """The epoch-appended index (r13): the probe over the incrementally
+    built layout equals the one-shot pruned probe; re-delivering an
+    append epoch (the at-least-once replay) leaves the index byte-stable;
+    and the probe still lists only probed cell directories."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+        append_cell_epoch,
+        probe_cells_py,
+    )
+    from streaming_data_pipeline_capstone_spark.queries.codebooks import (
+        KMEANS_CENTROIDS,
+    )
+    from streaming_data_pipeline_capstone_spark.queries.extras import (
+        _NPROBE,
+        _PQ_SUB_DIM,
+        _incr_layout,
+        _query_vec,
+        sim_topk_ivfpq_rerank_incr,
+        sim_topk_ivfpq_rerank_pruned,
+    )
+    from streaming_data_pipeline_capstone_spark.queries.extras import (
+        PQ_BOOKS as _BOOKS,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    want = [tuple(r) for r in sim_topk_ivfpq_rerank_pruned(spark, sf_oracle).collect()]
+    got = [tuple(r) for r in sim_topk_ivfpq_rerank_incr(spark, sf_oracle).collect()]
+    assert got == want
+
+    path = _incr_layout(spark, sf_oracle)
+    before = sorted(spark.read.parquet(path).inputFiles())
+    n_before = spark.read.parquet(path).count()
+    # replay the delta epoch (same content, same epoch id) — idempotent
+    emb = read_table(spark, sf_oracle, "embeddings")
+    delta = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    append_cell_epoch(
+        spark, delta, path, KMEANS_CENTROIDS, _BOOKS, _PQ_SUB_DIM, 1
+    )
+    assert spark.read.parquet(path).count() == n_before
+    assert [tuple(r) for r in sim_topk_ivfpq_rerank_incr(spark, sf_oracle).collect()] == want
+
+    # pruning pin: the probe's scan carries a literal PartitionFilters
+    # predicate on the LEADING cell level (the executed-plan pin the
+    # one-shot layout's test uses — partition pruning, not inputFiles,
+    # is the storage claim)
+    import re
+
+    probes = probe_cells_py(_query_vec(spark, sf_oracle), KMEANS_CENTROIDS, _NPROBE)
+    pruned = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", scan_line)
+    assert pf and "cell" in pf.group(1) and " IN " in pf.group(1), scan_line
+    # both epochs of a probed cell are visible to the probe
+    epochs = {
+        r[0] for r in pruned.select("epoch").distinct().collect()
+    }
+    assert epochs == {0, 1}
+    assert len(before) > 0
+    assert os.path.exists(os.path.join(path, "_INCR_META.json"))

@@ -192,6 +192,7 @@ SHUFFLE_BUDGET = {
     "sim_pq_topk_rerank_fixed": 0,  # codes scan -> top-R -> broadcast join raw scan
     "sim_topk_ivfpq_rerank_pruned": 0,  # pruned codes scan -> top-R -> pruned raw fetch
     "sim_topk_ivfpq_filtered": 0,  # same plan with the label predicate inside both pruned scans
+    "sim_topk_ivfpq_rerank_incr": 0,  # same probe over the epoch-appended layout
     # the one exchange is dropDuplicates over the TakeOrdered shortlist —
     # a <= RERANK*SPILL-row frame, never the corpus
     "sim_topk_ivfpq_rerank_spill": 1,
@@ -305,6 +306,7 @@ PQ_CODE_SCAN_QUERIES = {
     "retrieval_hybrid_rrf_ann",  # its dense arm reads the codes layout
     "sim_topk_ivfpq_multi",  # the batched probe reads the same layout
     "retrieval_hybrid_rrf_multi",  # its dense arm is the batched probe
+    "sim_topk_ivfpq_rerank_incr",  # same codes layout + the epoch partition col
 }
 MAX_PQ_SCAN_COLS = 32 + 2  # c0..c31 + vec_id + cell
 
