@@ -1556,7 +1556,25 @@ def _pruned_rerank_topk(
         pq_adc_score,
     )
 
-    layout = _serving_layout(spark, sf_dir)
+    return _pruned_rerank_topk_at(
+        spark, sf_dir, _serving_layout(spark, sf_dir), limit
+    )
+
+
+def _pruned_rerank_topk_at(
+    spark: SparkSession, sf_dir: str, layout: str, limit: int
+) -> DataFrame:
+    """The same probe over an EXPLICIT layout path — shared by the
+    one-shot layout, the epoch-appended incremental index, and the
+    stream-ingested index (their layouts differ only in how rows
+    arrived; the serving plan is identical)."""
+    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+        probe_cells_py,
+    )
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        pq_adc_score,
+    )
+
     query = _query_vec(spark, sf_dir)
     probes = probe_cells_py(query, KMEANS_CENTROIDS, _NPROBE)
     codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
@@ -2395,43 +2413,64 @@ def sim_topk_ivfpq_rerank_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch 0 + 20% appended as epoch 1): identical output to
     sim_topk_ivfpq_rerank_pruned — same oracle — proving index freshness
     costs Θ(new vectors), not a rebuild."""
-    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
-        probe_cells_py,
-    )
-    from streaming_data_pipeline_capstone_spark.operators.similarity import (
-        pq_adc_score,
+    return _pruned_rerank_topk_at(
+        spark, sf_dir, _incr_layout(spark, sf_dir), 10
     )
 
-    layout = _incr_layout(spark, sf_dir)
-    query = _query_vec(spark, sf_dir)
-    probes = probe_cells_py(query, KMEANS_CENTROIDS, _NPROBE)
-    codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
-    surv = spark.read.parquet(layout).filter(F.col("cell").isin(probes))
-    short = (
-        surv.select(
-            "vec_id",
-            F.round(pq_adc_score(codes, query, PQ_BOOKS, _PQ_SUB_DIM), 6).alias(
-                "adc_dist"
-            ),
-        )
-        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-        .limit(_RERANK)
+
+# -- streaming ANN index ingestion (r13) ---------------------------------------
+# The TRUE streaming form of index freshness: vectors arrive on a
+# stream, each micro-batch lands as one epoch under the cell layout
+# (streaming/ann_index_stream.py), and a vector is searchable the
+# moment its batch commits. The gate query is a REAL Structured
+# Streaming run — replay the embeddings table in vec_id order as 3
+# micro-batches, drain the ingest job (availableNow), probe the
+# STREAMED index with the unchanged pruned serving plan — against the
+# SAME full-corpus oracle as the one-shot layout: a hash match
+# certifies the incremental, checkpointed execution end to end.
+
+
+def _streamed_index(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from streaming_data_pipeline_capstone_spark.sources.readers import (
+        read_table as _read_table,
     )
-    qcol = F.array(*[F.lit(x) for x in query])
-    raw = (
-        spark.read.parquet(layout)
-        .filter(F.col("cell").isin(probes))
-        .select("vec_id", "embedding")
-        .join(F.broadcast(short.select("vec_id")), "vec_id")
+    from streaming_data_pipeline_capstone_spark.sources.replay import (
+        replay_to_files,
+        stream_from_replay,
     )
-    return (
-        raw.select(
-            "vec_id",
-            F.round(
-                cosine(F.transform("embedding", lambda x: x.cast("double")), qcol),
-                6,
-            ).alias("cosine_sim"),
-        )
-        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
-        .limit(10)
+    from streaming_data_pipeline_capstone_spark.streaming.ann_index_stream import (
+        streaming_index_ingest,
+    )
+
+    work = _tempfile.mkdtemp(prefix="stream_ann_index_")
+    atexit.register(_shutil.rmtree, work, ignore_errors=True)
+    vecs = _read_table(spark, sf_dir, "embeddings")
+    replay_dir = f"{work}/replay"
+    schema = replay_to_files(vecs, replay_dir, 3, order_col="vec_id")
+    index_path = f"{work}/index"
+    q = streaming_index_ingest(
+        stream_from_replay(spark, replay_dir, schema),
+        index_path,
+        f"{work}/ckpt",
+        KMEANS_CENTROIDS,
+        PQ_BOOKS,
+        _PQ_SUB_DIM,
+    )
+    q.awaitTermination()
+    return index_path
+
+
+@register("stream_ann_index_ingest", _ivfpq_rerank_oracle())
+def stream_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest the embeddings as a 3-micro-batch stream into a fresh
+    epoch-partitioned serving index (foreachBatch -> append_cell_epoch),
+    then answer the standard pruned rerank probe FROM the streamed
+    index — output and oracle identical to sim_topk_ivfpq_rerank_pruned,
+    certifying streaming index freshness end to end."""
+    return _pruned_rerank_topk_at(
+        spark, sf_dir, _streamed_index(spark, sf_dir), 10
     )

@@ -104,6 +104,7 @@ _SAMPLE_FIRST = [
     "sim_topk_ivfpq_filtered",
     "retrieval_hybrid_rrf_multi",
     "sim_topk_ivfpq_rerank_incr",
+    "stream_ann_index_ingest",
     "sim_topk_ivfpq_multi",
     "tokenizer_bpe_encode_fixed",
     "pipeline_chunk_pack",

@@ -193,6 +193,7 @@ SHUFFLE_BUDGET = {
     "sim_topk_ivfpq_rerank_pruned": 0,  # pruned codes scan -> top-R -> pruned raw fetch
     "sim_topk_ivfpq_filtered": 0,  # same plan with the label predicate inside both pruned scans
     "sim_topk_ivfpq_rerank_incr": 0,  # same probe over the epoch-appended layout
+    "stream_ann_index_ingest": 0,  # probe over the stream-ingested index (ingest runs eagerly)
     # the one exchange is dropDuplicates over the TakeOrdered shortlist —
     # a <= RERANK*SPILL-row frame, never the corpus
     "sim_topk_ivfpq_rerank_spill": 1,
@@ -307,6 +308,7 @@ PQ_CODE_SCAN_QUERIES = {
     "sim_topk_ivfpq_multi",  # the batched probe reads the same layout
     "retrieval_hybrid_rrf_multi",  # its dense arm is the batched probe
     "sim_topk_ivfpq_rerank_incr",  # same codes layout + the epoch partition col
+    "stream_ann_index_ingest",  # same layout, built by the ingest stream
 }
 MAX_PQ_SCAN_COLS = 32 + 2  # c0..c31 + vec_id + cell
 

@@ -811,3 +811,65 @@ def test_compaction_lifecycle_under_growth(spark, tmpdir):
         any(f"/bkt={b}/" in f for b in probe) for f in files
     )
     assert len(files) < len(full.inputFiles())
+
+
+def test_streaming_index_ingest_restart_idempotent(spark, tmpdir):
+    """Streaming ANN index ingestion (r13): drain half the vector replay,
+    kill the query, restart from the same checkpoint over the full
+    replay — the index must equal a one-shot encode of the corpus
+    (row-for-row on codes and cells), i.e. at-least-once delivery +
+    idempotent epoch appends compose to an exactly-once index."""
+    import os
+    import shutil
+
+    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+        encode_for_layout,
+    )
+    from streaming_data_pipeline_capstone_spark.queries.codebooks import (
+        KMEANS_CENTROIDS,
+        PQ_BOOKS,
+    )
+    from streaming_data_pipeline_capstone_spark.queries.extras import (
+        _PQ_SUB_DIM,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+    from streaming_data_pipeline_capstone_spark.sources.replay import (
+        replay_to_files,
+        stream_from_replay,
+    )
+    from streaming_data_pipeline_capstone_spark.streaming.ann_index_stream import (
+        streaming_index_ingest,
+    )
+
+    vecs = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    replay_dir = tmpdir + "/replay"
+    schema = replay_to_files(vecs, replay_dir, 4, order_col="vec_id")
+    hidden = tmpdir + "/hidden"
+    os.makedirs(hidden)
+    for chunk in ("chunk=00002", "chunk=00003"):
+        shutil.move(os.path.join(replay_dir, chunk), os.path.join(hidden, chunk))
+
+    index_path = tmpdir + "/index"
+    ckpt = tmpdir + "/ckpt"
+
+    def drain():
+        q = streaming_index_ingest(
+            stream_from_replay(spark, replay_dir, schema),
+            index_path, ckpt, KMEANS_CENTROIDS, PQ_BOOKS, _PQ_SUB_DIM,
+        )
+        q.awaitTermination()
+
+    drain()  # first half
+    for chunk in ("chunk=00002", "chunk=00003"):
+        shutil.move(os.path.join(hidden, chunk), os.path.join(replay_dir, chunk))
+    drain()  # restart from the same checkpoint over the full replay
+
+    streamed = spark.read.parquet(index_path).drop("epoch")
+    oneshot = encode_for_layout(vecs, KMEANS_CENTROIDS, PQ_BOOKS, _PQ_SUB_DIM)
+    cols = sorted(oneshot.columns)
+    a = sorted(tuple(r) for r in streamed.select(*cols).drop("embedding").collect())
+    b = sorted(tuple(r) for r in oneshot.select(*cols).drop("embedding").collect())
+    assert a == b
+    # multiple epochs actually landed (it was a real incremental run)
+    epochs = {r[0] for r in spark.read.parquet(index_path).select("epoch").distinct().collect()}
+    assert len(epochs) >= 2
