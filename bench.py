@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     # operators NEW in round 13, benched from birth. NOTE: totals grew
     # again; compare per-query across rounds.
     "sim_topk_ivfpq_filtered",       # predicate-filtered pruned ANN probe
+    "sim_topk_ivfpq_multi_filtered", # r14: per-query predicates on the batched pass
     "retrieval_hybrid_rrf_multi",    # batched hybrid fusion (1 dense + 1 sparse pass)
     "sim_topk_ivfpq_rerank_incr",    # probe over the epoch-appended incremental index
 ]

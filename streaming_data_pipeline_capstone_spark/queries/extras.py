@@ -1964,18 +1964,33 @@ def _ivfpq_multi_oracle() -> str:
 
 
 def multi_topk_ivfpq(
-    spark: SparkSession, sf_dir: str, qids: list[int], k: int = 10
+    spark: SparkSession,
+    sf_dir: str,
+    qids: list[int],
+    k: int = 10,
+    labels: dict[int, int] | None = None,
 ) -> DataFrame:
     """The batched serving pass for an arbitrary query-id batch: one
     pruned codes scan over the union of probe cells, broadcast
     (query_id, cell) fan-out, broadcast per-query distance-table join for
     the ADC, rank windows per query_id. Per-query state crossing the
     cluster is ONE broadcast of Q rows (each subs x pq_k doubles + the
-    raw query vector); plan/expression size is independent of Q."""
+    raw query vector); plan/expression size is independent of Q.
+
+    ``labels`` (r14: the filter axis composed onto the batch axis —
+    VERDICT r13 ask #3) maps query_id -> required label for that query's
+    results; omitted qids are unfiltered. Real serving batches carry
+    per-query predicates, so the predicate rides in TWO layers: the
+    UNION of requested labels is a literal IN-filter INSIDE the pruned
+    codes scan (a parquet row-group filter under the partition prune —
+    only possible because metadata lives in the layout, schema v2), and
+    the exact per-query match is one more predicate on the broadcast
+    fan-out before the shortlist window. Output gains the label column
+    when filtering (query_id, vec_id, label, cosine_sim, rank)."""
     from pyspark.sql import Window
 
     from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
-        probe_cells_py,
+        probe_cells_batch,
     )
     from streaming_data_pipeline_capstone_spark.operators.similarity import (
         pq_adc_score_tables_col,
@@ -1984,10 +1999,16 @@ def multi_topk_ivfpq(
 
     layout = _serving_layout(spark, sf_dir)
     qvecs = _query_vecs_multi(spark, sf_dir, qids)
-    probes = {
-        qid: probe_cells_py(qvecs[qid], KMEANS_CENTROIDS, _NPROBE)
-        for qid in qids
-    }
+    # vectorized batch ranking (r14): bit-identical to per-query
+    # probe_cells_py (pinned in tests), numpy-speed at serving Q x large k
+    probes = dict(
+        zip(
+            qids,
+            probe_cells_batch(
+                [qvecs[qid] for qid in qids], KMEANS_CENTROIDS, _NPROBE
+            ),
+        )
+    )
     union_cells = sorted({c for cs in probes.values() for c in cs})
     pairs = spark.createDataFrame(
         [(qid, c) for qid in qids for c in probes[qid]],
@@ -1995,24 +2016,42 @@ def multi_topk_ivfpq(
     )
     qmeta = spark.createDataFrame(
         [
-            (qid, pq_adc_tables(qvecs[qid], PQ_BOOKS, _PQ_SUB_DIM), qvecs[qid])
+            (
+                qid,
+                pq_adc_tables(qvecs[qid], PQ_BOOKS, _PQ_SUB_DIM),
+                qvecs[qid],
+                labels.get(qid) if labels else None,
+            )
             for qid in qids
         ],
-        "query_id int, dtabs array<array<double>>, qv array<double>",
+        "query_id int, dtabs array<array<double>>, qv array<double>, qlabel int",
     )
+    filtering = bool(labels)
+    union_labels = sorted({v for v in labels.values() if v is not None}) if labels else []
     codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
+    scan = spark.read.parquet(layout).filter(F.col("cell").isin(union_cells))
+    if filtering and len(union_labels) == len(labels) == len(qids):
+        # every query is filtered: the union-of-labels disjunction can
+        # prefilter the SCAN itself (row-group stats + dictionary pages
+        # under the partition prune) before the broadcast fan-out
+        scan = scan.filter(F.col("label").isin(union_labels))
     cand = (
-        spark.read.parquet(layout)
-        .filter(F.col("cell").isin(union_cells))
+        scan
         .join(F.broadcast(pairs), "cell")
-        .join(F.broadcast(qmeta.select("query_id", "dtabs")), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(pq_adc_score_tables_col(codes, F.col("dtabs")), 6).alias(
-                "adc_dist"
-            ),
+        .join(
+            F.broadcast(qmeta.select("query_id", "dtabs", "qlabel")), "query_id"
         )
+    )
+    if filtering:
+        cand = cand.filter(
+            F.col("qlabel").isNull() | (F.col("label") == F.col("qlabel"))
+        )
+    cand = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(pq_adc_score_tables_col(codes, F.col("dtabs")), 6).alias(
+            "adc_dist"
+        ),
     )
     w_short = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("vec_id")
@@ -2022,10 +2061,14 @@ def multi_topk_ivfpq(
         .filter(F.col("_r") <= _RERANK)
         .select("query_id", "vec_id")
     )
+    raw_cols = ["vec_id"] + (["label"] if filtering else [])
     raw = (
         spark.read.parquet(layout)
         .filter(F.col("cell").isin(union_cells))
-        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .select(
+            *raw_cols,
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
         .dropDuplicates(["vec_id"])
     )
     rer = (
@@ -2034,16 +2077,25 @@ def multi_topk_ivfpq(
         .select(
             "query_id",
             "vec_id",
+            *(
+                [F.col("label").cast("int").alias("label")]
+                if filtering
+                else []
+            ),
             F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine_sim"),
         )
     )
     w_top = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("vec_id")
     )
+    out_cols = ["query_id", "vec_id"] + (["label"] if filtering else []) + [
+        "cosine_sim",
+        "rank",
+    ]
     return (
         rer.withColumn("rank", F.row_number().over(w_top).cast("bigint"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine_sim", "rank")
+        .select(*out_cols)
     )
 
 
@@ -2162,6 +2214,102 @@ def sim_topk_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+# -- filtered x batched ANN serving (r14) --------------------------------------
+# VERDICT r13 ask #3: real serving batches carry PER-QUERY predicates
+# (tenant A's query must only see tenant A's vectors). The composition
+# multiplies correctly: ONE pruned codes scan over the union probe cells,
+# prefiltered by the UNION of requested labels (a literal IN inside the
+# scan, row-group pruning under the partition prune), then the exact
+# per-query label match rides the same broadcast fan-out row the ADC
+# distance tables ride — zero extra passes, zero extra exchanges vs the
+# unfiltered batch. The qid=0 slice (label 3) is pinned identical to
+# sim_topk_ivfpq_filtered in tests.
+
+_FILTER_LABELS_MULTI = {0: _FILTER_LABEL, 1: 7, 2: 5}
+
+
+def _ivfpq_multi_filtered_oracle() -> str:
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)",
+        _values_cents_cte("cb", KMEANS_CENTROIDS),
+        _lloyd_assign_cte("af", "e", "cb", _EMB_DIM),
+    ]
+    for s in range(_PQ_SUBS):
+        lo = s * _PQ_SUB_DIM + 1
+        ctes.append(
+            f"e{s} AS (SELECT vec_id, list_slice(v, {lo}, {lo + _PQ_SUB_DIM - 1}) AS v FROM e)"
+        )
+        ctes.append(_values_cents_cte(f"b{s}", PQ_BOOKS[s]))
+        ctes.append(_lloyd_assign_cte(f"s{s}_af", f"e{s}", f"b{s}", _PQ_SUB_DIM))
+    tops = []
+    for qid, lbl in sorted(_FILTER_LABELS_MULTI.items()):
+        ctes.append(
+            f"q_{qid} AS (SELECT v AS qv FROM e WHERE vec_id = {qid})"
+        )
+        ctes.append(
+            f"""probe_{qid} AS (SELECT cell FROM cb, q_{qid} q
+                ORDER BY list_cosine_similarity(cv, q.qv) DESC, cell ASC
+                LIMIT {_NPROBE})"""
+        )
+        ctes.append(
+            f"flt_{qid} AS (SELECT vec_id FROM e WHERE label = {lbl})"
+        )
+        for s in range(_PQ_SUBS):
+            lo = s * _PQ_SUB_DIM + 1
+            ctes.append(
+                f"qs{qid}_{s} AS (SELECT list_slice(qv, {lo}, {lo + _PQ_SUB_DIM - 1})"
+                f" AS qv FROM q_{qid})"
+            )
+            ctes.append(
+                f"""dt{qid}_{s} AS (SELECT c.cell,
+                    list_sum(list_transform(range(1, {_PQ_SUB_DIM}+1),
+                        i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d
+                    FROM b{s} c, qs{qid}_{s} q)"""
+            )
+        joins = (
+            " ".join(f"JOIN s{s}_af a{s} USING (vec_id)" for s in range(1, _PQ_SUBS))
+            + " "
+            + " ".join(
+                f"JOIN dt{qid}_{s} ON a{s}.cell = dt{qid}_{s}.cell"
+                for s in range(_PQ_SUBS)
+            )
+            + f" JOIN af USING (vec_id) JOIN probe_{qid} ON af.cell = probe_{qid}.cell"
+            + f" JOIN flt_{qid} USING (vec_id)"
+        )
+        total = " + ".join(f"dt{qid}_{s}.d" for s in range(_PQ_SUBS))
+        ctes.append(
+            f"""short_{qid} AS MATERIALIZED (
+                SELECT a0.vec_id, round({total}, 6) AS adc_dist
+                FROM s0_af a0 {joins}
+                ORDER BY adc_dist ASC, vec_id ASC LIMIT {_RERANK})"""
+        )
+        ctes.append(
+            f"""top_{qid} AS (SELECT query_id, vec_id, label, cosine_sim, rank FROM (
+                SELECT {qid} AS query_id, e.vec_id,
+                       CAST(e.label AS INT) AS label,
+                       round(list_cosine_similarity(e.v, q.qv), 6) AS cosine_sim,
+                       CAST(row_number() OVER (
+                         ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                                  e.vec_id ASC) AS BIGINT) AS rank
+                FROM e JOIN short_{qid} USING (vec_id), q_{qid} q)
+                WHERE rank <= 10)"""
+        )
+        tops.append(f"SELECT * FROM top_{qid}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(tops)
+
+
+@register("sim_topk_ivfpq_multi_filtered", _ivfpq_multi_filtered_oracle())
+def sim_topk_ivfpq_multi_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered batched ANN serving: exact-cosine top-10 per query AMONG
+    each query's own label slice, for the standing 3-query batch with
+    per-query predicates {0: label 3, 1: label 7, 2: label 5} — ONE
+    pruned, label-prefiltered codes scan; (query_id, vec_id, label,
+    cosine_sim, rank)."""
+    return multi_topk_ivfpq(
+        spark, sf_dir, sorted(_FILTER_LABELS_MULTI), labels=_FILTER_LABELS_MULTI
     )
 
 
@@ -2304,7 +2452,7 @@ def retrieval_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MULTI_QUERIES,
         _RRF_K,
         _TOPK,
-        _bm25_tf_idf,
+        _bm25_base,
         _c_micro,
         _multi_terms,
     )
@@ -2314,15 +2462,16 @@ def retrieval_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"),
         F.col("rank").alias("r_dense"),
     )
-    tf, idf, lens = _bm25_tf_idf(spark, sf_dir, _multi_terms())
     qt = spark.createDataFrame(
         [(qid, t) for qid, ts in sorted(_MULTI_QUERIES.items()) for t in ts],
         "query_id int, term string",
     )
+    # sparse arm through the term-bucketed postings layout (r14): the
+    # batch reads only the union terms' buckets — the corpus text is
+    # never scanned at serving time (VERDICT r13 #1)
     scores = (
-        tf.join(F.broadcast(qt), "term")
-        .join(F.broadcast(idf), "term")
-        .join(lens, "doc_id")
+        _bm25_base(spark, sf_dir, _multi_terms())
+        .join(F.broadcast(qt), "term")
         .select("query_id", "doc_id", _c_micro())
         .groupBy("query_id", "doc_id")
         .agg(F.sum("c_micro").alias("score_micro"))
@@ -2373,6 +2522,7 @@ def retrieval_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _incr_layout(spark: SparkSession, sf_dir: str) -> str:
     import json as _json
     import os as _os
+    import shutil as _shutil
 
     from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
         _model_hash,
@@ -2393,6 +2543,12 @@ def _incr_layout(spark: SparkSession, sf_dir: str) -> str:
             and meta.get("model_hash") == model_hash
         ):
             return path
+    # Stale or unmarked: FULL clear before rebuilding (ADVICE r13). The
+    # epoch appends below use dynamic partition overwrite, which only
+    # touches (cell, epoch) partitions present in the NEW data — a
+    # regenerated corpus/model that leaves some old partition unwritten
+    # would otherwise keep the previous build's rows in the index.
+    _shutil.rmtree(path, ignore_errors=True)
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
     delta = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
@@ -2431,10 +2587,15 @@ def sim_topk_ivfpq_rerank_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _streamed_index(spark: SparkSession, sf_dir: str) -> str:
-    import atexit
+    import json as _json
+    import os as _os
     import shutil as _shutil
-    import tempfile as _tempfile
 
+    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+        _model_hash,
+        _source_mtime,
+        cell_layout_path,
+    )
     from streaming_data_pipeline_capstone_spark.sources.readers import (
         read_table as _read_table,
     )
@@ -2446,12 +2607,28 @@ def _streamed_index(spark: SparkSession, sf_dir: str) -> str:
         streaming_index_ingest,
     )
 
-    work = _tempfile.mkdtemp(prefix="stream_ann_index_")
-    atexit.register(_shutil.rmtree, work, ignore_errors=True)
+    # Cached per (source mtime, model hash) behind the _incr_layout marker
+    # convention (ADVICE r13): repeated invocations of the registered gate
+    # query (oracle sweeps, plan audits, bench legs) reuse ONE streamed
+    # index instead of re-running the full replay + ingest into a fresh
+    # mkdtemp each call — and the work dir no longer accumulates per call.
+    work = cell_layout_path(sf_dir) + "-streamed"
+    index_path = f"{work}/index"
+    marker = _os.path.join(work, "_STREAMED_META.json")
+    src_mtime = _source_mtime(sf_dir)
+    model_hash = _model_hash(KMEANS_CENTROIDS, PQ_BOOKS, _PQ_SUB_DIM)
+    if _os.path.exists(marker):
+        with open(marker) as fh:
+            meta = _json.load(fh)
+        if (
+            meta.get("source_mtime") == src_mtime
+            and meta.get("model_hash") == model_hash
+        ):
+            return index_path
+    _shutil.rmtree(work, ignore_errors=True)  # stale: full clear, then rebuild
     vecs = _read_table(spark, sf_dir, "embeddings")
     replay_dir = f"{work}/replay"
     schema = replay_to_files(vecs, replay_dir, 3, order_col="vec_id")
-    index_path = f"{work}/index"
     q = streaming_index_ingest(
         stream_from_replay(spark, replay_dir, schema),
         index_path,
@@ -2461,6 +2638,8 @@ def _streamed_index(spark: SparkSession, sf_dir: str) -> str:
         _PQ_SUB_DIM,
     )
     q.awaitTermination()
+    with open(marker, "w") as fh:
+        _json.dump({"source_mtime": src_mtime, "model_hash": model_hash}, fh)
     return index_path
 
 

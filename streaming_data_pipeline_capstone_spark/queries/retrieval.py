@@ -9,19 +9,27 @@ Model (Robertson et al.'s BM25 with the Lucene IDF variant, all public):
                              / (tf(t,D) + k1·(1 − b + b·|D|/avgdl))
     IDF(t) = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
 
-100 TB shape — the term filter IS the plan:
+100 TB shape — the POSTINGS LAYOUT is the plan (r14; VERDICT r13 #1):
 
-- the per-(doc, term) frequency table is built by exploding tokens and
-  filtering to the query's terms BEFORE any exchange, so the groupBy
-  shuffles only occurrences of the |Q| query terms (a vanishing fraction
-  of the corpus; the filter is a literal IN-list evaluated inside the
-  scan's codegen span);
-- df/IDF is a |Q|-row aggregate of that same filtered frame — metadata;
-  it broadcasts onto the tf table;
-- N and avgdl are a 1-row broadcast frame from one corpus scan (token
-  counting is per-row, shuffle-free);
+- the corpus is tokenized ONCE into a term-bucketed postings layout
+  (operators/text_layout.py: rows (term, doc_id, tf, dl, df) hive-
+  partitioned by a hash bucket of the term, doc length and document
+  frequency denormalized into the row, corpus constants N/avgdl exact
+  in the marker) — the ANN-layout move applied to text;
+- a query READS only the bkt= directories its terms hash to (listing-
+  level pruning, a per-query literal bucket list) and filters
+  ``term IN (...)`` inside that pruned scan for row-group pruning
+  within a bucket — per-query I/O is Θ(query-term postings), never a
+  corpus scan, so serving batches stop re-reading the corpus text;
+- scoring is per-row arithmetic (idf from the in-row df + the N/avgdl
+  literals) feeding ONE exchange — the per-doc sum;
 - the final top-k compiles to TakeOrderedAndProject — per-partition
   heaps, no global sort.
+
+The pre-layout full-scan formulation (:func:`_bm25_tf_idf`) is kept as
+the build-equivalent twin: tests pin the postings-backed scores equal to
+it row for row, and the DuckDB oracles (which express exactly that
+formulation) stay unchanged.
 
 Cross-engine determinism: per-(doc, term) BM25 contributions are rounded
 ONCE to integer micro-units; the per-doc score is an INTEGER sum of ≤|Q|
@@ -52,12 +60,42 @@ _TOPK = 20
 _QUERY_TERMS = ["hash", "join", "window", "scan"]
 
 
+def _bm25_base(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
+    """The postings-backed BM25 base: (doc_id, term, tf, dl, avgdl, idf)
+    from the term-bucketed layout — a bucket-pruned scan and ZERO joins
+    (df/dl ride in the rows, N/avgdl are marker literals). One base serves
+    the single- AND multi-query entries, so formula/tokenization can never
+    drift between them. Bit-identical to :func:`_bm25_tf_idf`'s full-scan
+    frames: same idf expression over the same exact-integer inputs, avgdl
+    the same IEEE division of the exact Σdl/N the full scan aggregates."""
+    from streaming_data_pipeline_capstone_spark.operators.text_layout import (
+        ensure_postings_layout,
+        read_postings,
+    )
+
+    meta = ensure_postings_layout(spark, sf_dir)
+    post = read_postings(spark, meta, terms)
+    n_docs = float(meta["n_docs"])
+    avgdl = meta["sum_dl"] / meta["n_docs"]
+    dfd = F.col("df").cast("double")
+    return post.select(
+        "doc_id",
+        "term",
+        "tf",
+        "dl",
+        F.lit(avgdl).alias("avgdl"),
+        F.log(1.0 + (F.lit(n_docs) - dfd + 0.5) / (dfd + 0.5)).alias("idf"),
+    )
+
+
 def _bm25_tf_idf(
     spark: SparkSession, sf_dir: str, terms: list[str]
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The shared BM25 base: (tf(doc_id, term, tf), idf(term, avgdl, idf),
-    lens(doc_id, dl)). One plan serves the single- AND multi-query
-    entries, so the formula/tokenization can never drift between them."""
+    """The FULL-SCAN BM25 base — the layout's build-equivalent twin, kept
+    for the parity pin (tests/test_retrieval.py asserts the postings-
+    backed scores equal this formulation row for row; the DuckDB oracles
+    express exactly this SQL): (tf(doc_id, term, tf),
+    idf(term, avgdl, idf), lens(doc_id, dl))."""
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", tokens("text").alias("t")
     )
@@ -112,13 +150,9 @@ def _bm25_scores(
     spark: SparkSession, sf_dir: str, terms: list[str]
 ) -> DataFrame:
     """(doc_id, score_micro): integer micro-unit BM25 score of every doc
-    matching ≥1 query term."""
-    tf, idf, lens = _bm25_tf_idf(spark, sf_dir, terms)
-    contrib = (
-        tf.join(F.broadcast(idf), "term")
-        .join(lens, "doc_id")
-        .select("doc_id", _c_micro())
-    )
+    matching ≥1 query term — bucket-pruned postings scan, per-row
+    contribution, ONE exchange (the per-doc sum)."""
+    contrib = _bm25_base(spark, sf_dir, terms).select("doc_id", _c_micro())
     return contrib.groupBy("doc_id").agg(
         F.sum("c_micro").alias("score_micro")
     )
@@ -342,18 +376,20 @@ def _bm25_multi_oracle(topk: int) -> str:
 @register("text_bm25_multi_topk", _bm25_multi_oracle(_TOPK))
 def text_bm25_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 documents per query for the standing 3-query batch (scores
-    integer micro-units, per-query rank with doc_id tiebreak)."""
+    integer micro-units, per-query rank with doc_id tiebreak). The batch
+    probes the postings layout ONCE with the union of all queries' terms;
+    the broadcast (query_id, term) frame fans each surviving posting out
+    to the queries containing its term — more queries widen the bucket
+    list and add rank-window partitions, never passes."""
     from pyspark.sql import Window
 
-    tf, idf, lens = _bm25_tf_idf(spark, sf_dir, _multi_terms())
     q = spark.createDataFrame(
         [(qid, t) for qid, ts in sorted(_MULTI_QUERIES.items()) for t in ts],
         "query_id int, term string",
     )
     contrib = (
-        tf.join(F.broadcast(q), "term")
-        .join(F.broadcast(idf), "term")
-        .join(lens, "doc_id")
+        _bm25_base(spark, sf_dir, _multi_terms())
+        .join(F.broadcast(q), "term")
         .select("query_id", "doc_id", _c_micro())
     )
     scores = contrib.groupBy("query_id", "doc_id").agg(

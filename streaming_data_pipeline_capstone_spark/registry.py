@@ -98,11 +98,17 @@ def _load_all() -> None:
 # the r10 stream_curation_verdicts delivery gap hid behind exactly that
 # tolerance.
 _SAMPLE_FIRST = [
-    # new or semantically changed in r13 (filtered ANN; the broadcast
-    # distance-table batched probe; the segmenting deploy encode at the
-    # exhaustion vocab; the guarded chunk-pack uids)
-    "sim_topk_ivfpq_filtered",
+    # new or semantically changed in r14 (the term-bucketed postings
+    # layout reroutes the whole BM25/hybrid family; the filtered batched
+    # probe composes the r13 filter and batch axes)
+    "text_bm25_topk",
+    "text_bm25_multi_topk",
+    "retrieval_hybrid_rrf",
+    "retrieval_hybrid_rrf_ann",
     "retrieval_hybrid_rrf_multi",
+    "sim_topk_ivfpq_multi_filtered",
+    # new or semantically changed in r13
+    "sim_topk_ivfpq_filtered",
     "sim_topk_ivfpq_rerank_incr",
     "stream_ann_index_ingest",
     "sim_topk_ivfpq_multi",
@@ -113,16 +119,12 @@ _SAMPLE_FIRST = [
     "tokenizer_bpe_encode",
     "chunk_fixed_tokens",
     "curation_domain_cap",
-    "retrieval_hybrid_rrf_ann",
-    "text_bm25_multi_topk",
     "corpus_health_lm_by_source",
     # new in r11
     "stream_curation_verdicts",
     "sim_topk_ivfpq_rerank_spill",
     "quality_lm_perplexity",
     "quality_lm_ppl_buckets",
-    "text_bm25_topk",
-    "retrieval_hybrid_rrf",
     "decontam_bloom_prefilter_w8",
     "corpus_health_by_source",
     # new or semantically changed in r10

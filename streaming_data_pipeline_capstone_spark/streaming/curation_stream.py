@@ -290,6 +290,7 @@ def start_verdict_stream(
     dedup_stream rule; omitted, the gate default (16 buckets) applies.
     Keep the value fixed across restarts of the same ``state_dir``."""
     from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        check_or_write_index_layout,
         state_bucket_prefix_len,
     )
 
@@ -298,6 +299,10 @@ def start_verdict_stream(
         if expected_batch_docs is not None
         else _FP_PREFIX_LEN
     )
+    # a key's bucket is its address: pin the fan-out for the life of the
+    # state dir, fail fast on a mismatched restart (ADVICE r13; the
+    # fp-index has one bucketed table, so doc_fanout mirrors prefix_len)
+    check_or_write_index_layout(state_dir, fp_prefix_len, 16 ** fp_prefix_len)
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         _verdict_batch(

@@ -86,6 +86,57 @@ def state_bucket_fanout(
     return 16 ** state_bucket_prefix_len(expected_batch_keys, max_touched_frac)
 
 
+_LAYOUT_MARKER = "_LAYOUT_META.json"
+
+
+def check_or_write_index_layout(
+    index_dir: str, bh_prefix_len: int, doc_fanout: int
+) -> None:
+    """Pin the bucket layout of a state index for its whole life.
+
+    A key's bucket is its address: restarting a stream over the same
+    ``index_dir`` with a different ``expected_batch_docs`` (or compacting
+    with mismatched fan-outs) would silently mix incompatible bucket
+    layouts — pruned reads would miss prior state and duplicates would go
+    UNDETECTED (wrong verdicts, not an error). So the first writer records
+    the chosen fan-outs in ``_LAYOUT_META.json`` under the index dir (the
+    ann_layout marker convention), and every later open — stream start or
+    compaction — fails fast on mismatch instead (ADVICE r13)."""
+    import json
+
+    os.makedirs(index_dir, exist_ok=True)
+    marker = os.path.join(index_dir, _LAYOUT_MARKER)
+    want = {"bh_prefix_len": int(bh_prefix_len), "doc_fanout": int(doc_fanout)}
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            have = json.load(fh)
+        got = {k: have.get(k) for k in want}
+        if got != want:
+            raise ValueError(
+                f"state-index bucket layout mismatch at {index_dir}: "
+                f"index was written with {got}, caller asked for {want}. "
+                "The fan-out is fixed for the life of an index — pass the "
+                "same expected_batch_docs/fan-outs, or rebucket first by "
+                "running compact_index with the new fan-outs (the "
+                "legitimate layout change: it rebuilds every bkt=)."
+            )
+        return
+    with open(marker, "w") as fh:
+        json.dump(want, fh)
+
+
+def _write_index_layout(index_dir: str, bh_prefix_len: int, doc_fanout: int) -> None:
+    """Unconditional marker (re)write — compact_index's rebucket path,
+    which legitimately redefines the layout for every bucket at once."""
+    import json
+
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, _LAYOUT_MARKER), "w") as fh:
+        json.dump(
+            {"bh_prefix_len": int(bh_prefix_len), "doc_fanout": int(doc_fanout)}, fh
+        )
+
+
 def _bh_bucket(bh, prefix_len: int = _BH_PREFIX_LEN):
     """Bucket of a band hash: leading hex chars of the md5 — uniform by
     construction, and computable from the batch alone."""
@@ -381,6 +432,9 @@ def streaming_minhash_dedup(
         doc_fanout = state_bucket_fanout(expected_batch_docs)
     else:
         bh_prefix_len, doc_fanout = _BH_PREFIX_LEN, _DOC_BUCKETS
+    # fail fast at stream start if index_dir was written under a different
+    # layout (first start records it) — see check_or_write_index_layout
+    check_or_write_index_layout(index_dir, bh_prefix_len, doc_fanout)
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
         _merge_batch(
@@ -418,6 +472,70 @@ def exact_dedup_stream(
     tunable—dedup window.)
     """
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+# Compaction trigger rule (VERDICT r13 #3 — the trigger was manual):
+# every epoch adds ~1 file per touched bucket, and each file costs a
+# fixed open/footer overhead per pruned read on top of its data. With
+# per-batch data per bucket ≈ batch/fanout rows, the fixed term starts
+# dominating once a bucket holds more epoch-files than a batch's rows
+# amortize — the measured fan-out-4096 cliff
+# (BENCH_stream_curation_scale_r13.json: 11.7 s vs 2.0 s per batch from
+# file overhead alone). Threshold mirrors the ANN layout's rule
+# (operators/ann_layout.MAX_EPOCH_FILES); the r14 probe artifact
+# (BENCH_stream_compaction_r14.json) re-measures the band it buys back.
+
+MAX_BUCKET_FILES = 16
+
+
+def files_per_bucket(index_dir: str) -> int:
+    """Max parquet-file count under any one bkt= of either index table —
+    the quantity the compaction rule thresholds (directory metadata, one
+    tree listing, no data read)."""
+    worst = 0
+    for sub in ("bands", "sets"):
+        table = os.path.join(index_dir, sub)
+        if not os.path.isdir(table):
+            continue
+        for bdir in os.listdir(table):
+            full = os.path.join(table, bdir)
+            if not (bdir.startswith("bkt=") and os.path.isdir(full)):
+                continue
+            n = 0
+            for _root, _dirs, files in os.walk(full):
+                n += sum(f.endswith(".parquet") for f in files)
+            worst = max(worst, n)
+    return worst
+
+
+def index_compaction_due(
+    index_dir: str, max_bucket_files: int = MAX_BUCKET_FILES
+) -> bool:
+    return files_per_bucket(index_dir) > max_bucket_files
+
+
+def maybe_compact_index(
+    spark,
+    index_dir: str,
+    partitions_per_table: int = 32,
+    bh_prefix_len: int = _BH_PREFIX_LEN,
+    doc_fanout: int = _DOC_BUCKETS,
+    max_bucket_files: int = MAX_BUCKET_FILES,
+) -> bool:
+    """Apply the compaction rule: compact iff any bucket's epoch-file
+    count crossed the threshold. Call from the maintenance point (after
+    an availableNow drain / between stream runs — compact_index's
+    contract); returns whether a compaction ran."""
+    if not index_compaction_due(index_dir, max_bucket_files):
+        return False
+    compact_index(
+        spark,
+        index_dir,
+        partitions_per_table=partitions_per_table,
+        bh_prefix_len=bh_prefix_len,
+        doc_fanout=doc_fanout,
+    )
+    return True
 
 
 def compact_index(
@@ -465,3 +583,7 @@ def compact_index(
             shutil.rmtree(tmp, ignore_errors=True)
         except Exception:
             pass
+    # compaction rebuilds every bkt= from the key expressions, so it is
+    # the one legitimate layout change — record the (possibly new)
+    # fan-outs so the next stream start checks against THIS layout
+    _write_index_layout(index_dir, bh_prefix_len, doc_fanout)

@@ -51,18 +51,32 @@ def test_ivfpq_probe_members_come_from_probed_cells(spark, sf_oracle):
 
 
 def _scan_metrics(df) -> list[dict]:
-    """Execute ``df`` and return each leaf scan's runtime metrics."""
+    """Execute ``df`` and return each leaf scan's runtime metrics.
+
+    Descends through AdaptiveSparkPlan wrappers (plans with exchanges run
+    under AQE, whose collectLeaves stops at the adaptive root) to the
+    final materialized physical plan."""
     df.collect()
-    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
     out = []
-    for i in range(leaves.size()):
-        node = leaves.apply(i)
-        it = node.metrics().iterator()
-        m = {"node": node.nodeName()}
-        while it.hasNext():
-            kv = it.next()
-            m[kv._1()] = kv._2().value()
-        out.append(m)
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        plan = stack.pop()
+        leaves = plan.collectLeaves()
+        for i in range(leaves.size()):
+            node = leaves.apply(i)
+            name = node.nodeName()
+            if name == "AdaptiveSparkPlan":
+                stack.append(node.executedPlan())
+                continue
+            if "QueryStage" in name:  # AQE stage boundaries are leaves too
+                stack.append(node.plan())
+                continue
+            it = node.metrics().iterator()
+            m = {"node": node.nodeName()}
+            while it.hasNext():
+                kv = it.next()
+                m[kv._1()] = kv._2().value()
+            out.append(m)
     return out
 
 
@@ -533,3 +547,139 @@ def test_incremental_index_appends_idempotent_and_pruned(spark, sf_oracle):
     assert epochs == {0, 1}
     assert len(before) > 0
     assert os.path.exists(os.path.join(path, "_INCR_META.json"))
+
+
+# -- r14: batch probe, growth rule, filter x batch, epoch compaction ----------
+
+
+def test_probe_cells_batch_bit_identical_to_scalar(spark):
+    """The vectorized batch ranking must select EXACTLY the scalar fold's
+    probe set — same sims (the dim-loop accumulation reproduces the
+    sequential rounding), same sim-desc/cell-asc tiebreak — including on
+    duplicated centroids that force exact ties."""
+    import random
+
+    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+        probe_cells_batch,
+        probe_cells_py,
+    )
+
+    rng = random.Random(17)
+    dim, k, q = 64, 33, 7
+    cents = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(k)]
+    cents[5] = list(cents[2])   # exact duplicates -> exact sim ties
+    cents[30] = list(cents[2])
+    queries = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(q)]
+    queries[3] = list(cents[2])  # a query ON the tied centroid
+    for nprobe in (1, 3, 8, k):
+        batch = probe_cells_batch(queries, cents, nprobe)
+        scalar = [probe_cells_py(qv, cents, nprobe) for qv in queries]
+        assert batch == scalar, nprobe
+
+
+def test_coarse_cells_rule_and_retrain_trigger():
+    """k is a rule of corpus size (4·√n, power-of-two, clamped), and the
+    retrain trigger fires once growth doubles the rule's k."""
+    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+        coarse_cells,
+        coarse_retrain_due,
+    )
+
+    assert coarse_cells(0) == 8
+    assert coarse_cells(500) == 64  # 4·√500 ≈ 89 -> nearest pow2
+    # 4·√n: n=1e6 -> 4000 -> 4096; n=3e9 (100 TB-ish) -> caps at 2^16
+    assert coarse_cells(10**6) == 4096
+    assert coarse_cells(3 * 10**9) == 1 << 16
+    # monotone in n
+    ks = [coarse_cells(n) for n in (10**3, 10**5, 10**7, 10**9)]
+    assert ks == sorted(ks)
+    # retrain: a corpus that grew 10x under √-law (~3.2x k) is overdue;
+    # 2x growth (√2 ≈ 1.4x k) is not
+    k0 = coarse_cells(10**6)
+    assert not coarse_retrain_due(k0, 2 * 10**6)
+    assert coarse_retrain_due(k0, 10 * 10**6)
+
+
+def test_multi_filtered_slice_pins_to_single_filtered(spark, sf_oracle):
+    """The composed filter x batch plan must be a generalization of both
+    axes: its qid=0 slice (label 3) equals sim_topk_ivfpq_filtered
+    row-for-row, every result row carries its query's own label, and the
+    union-of-labels prefilter reaches the pruned codes scan."""
+    from streaming_data_pipeline_capstone_spark.queries.extras import (
+        _FILTER_LABELS_MULTI,
+        sim_topk_ivfpq_filtered,
+        sim_topk_ivfpq_multi_filtered,
+    )
+
+    batch_df = sim_topk_ivfpq_multi_filtered(spark, sf_oracle)
+    batch = batch_df.collect()
+    single = [
+        (r.vec_id, r.label, r.cosine_sim)
+        for r in sim_topk_ivfpq_filtered(spark, sf_oracle).collect()
+    ]
+    slice0 = [
+        (r.vec_id, r.label, r.cosine_sim)
+        for r in sorted(
+            (r for r in batch if r.query_id == 0), key=lambda r: r.rank
+        )
+    ]
+    assert slice0 == single
+    for r in batch:
+        assert r.label == _FILTER_LABELS_MULTI[r.query_id], r
+    for qid in _FILTER_LABELS_MULTI:
+        assert sum(r.query_id == qid for r in batch) == 10, qid
+
+    # among the plan's scans, the CODES scan (no raw embedding read) must
+    # carry the union-of-labels prefilter in PushedFilters under the cell
+    # partition prune; the separate rerank scan reads embedding and needs
+    # no label pushdown (its rows come from the shortlist join)
+    plan = batch_df._jdf.queryExecution().executedPlan().toString()
+    code_scans = [
+        l
+        for l in plan.splitlines()
+        if "FileScan" in l and "PushedFilters" in l and "embedding" not in l.split("ReadSchema", 1)[-1]
+    ]
+    assert any(
+        "label" in l.split("PushedFilters", 1)[1][:400]
+        and ("In(" in l.split("PushedFilters", 1)[1][:400] or "EqualTo" in l.split("PushedFilters", 1)[1][:400])
+        for l in code_scans
+    ), code_scans
+
+
+def test_ann_epoch_compaction_rule_and_identity(spark, sf_oracle, tmp_path):
+    """The compaction RULE (files-per-cell threshold) must fire under
+    epoch growth, and compaction must be invisible to probes: identical
+    rows before and after, epochs collapsed to the sentinel."""
+    import os
+    import shutil
+
+    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+        ann_compaction_due,
+        compact_cell_epochs,
+        epoch_files_per_cell,
+    )
+    from streaming_data_pipeline_capstone_spark.queries.extras import (
+        _incr_layout,
+        _pruned_rerank_topk_at,
+    )
+
+    src = _incr_layout(spark, sf_oracle)
+    work = str(tmp_path / "epochs")
+    shutil.copytree(src, work)
+    os.remove(os.path.join(work, "_INCR_META.json"))
+
+    before = [tuple(r) for r in _pruned_rerank_topk_at(spark, sf_oracle, work, 10).collect()]
+    assert before
+    # the 2-epoch gate layout is under every sane threshold; the rule
+    # fires at threshold 1 (any cell holding >1 epoch file)
+    assert not ann_compaction_due(work, max_epoch_files=16)
+    assert ann_compaction_due(work, max_epoch_files=1)
+
+    compact_cell_epochs(spark, work, partitions=4)
+    cells = [d for d in os.listdir(work) if d.startswith("cell=")]
+    assert cells
+    for c in cells:
+        assert os.listdir(os.path.join(work, c)) == ["epoch=-1"], c
+    assert epoch_files_per_cell(work) == 1
+    after = [tuple(r) for r in _pruned_rerank_topk_at(spark, sf_oracle, work, 10).collect()]
+    assert after == before

@@ -42,11 +42,7 @@ BNLJ_OK = {
     "quality_lm_perplexity",  # crossJoin against the broadcast 1-row (N, V) frame
     "quality_lm_ppl_buckets",  # same, plus the broadcast <=1-row cuts frame
     "corpus_health_lm_by_source",  # the bucket chain's broadcast frames
-    "text_bm25_topk",  # crossJoin against the broadcast 1-row (N, avgdl) frame
-    "text_bm25_multi_topk",  # same broadcast stats frame
-    "retrieval_hybrid_rrf",  # same, plus the broadcast 1-row query vector
-    "retrieval_hybrid_rrf_ann",  # the BM25 arm's broadcast stats frame
-    "retrieval_hybrid_rrf_multi",  # same BM25 stats frame in the batched arm
+    "retrieval_hybrid_rrf",  # brute-force dense arm: broadcast 1-row query vector
 }
 
 # Audited exchange count per query (broadcasts excluded). UPPER bounds:
@@ -158,24 +154,25 @@ SHUFFLE_BUDGET = {
     "text_dup_spans_strip_hashed": 2,  # same plan keyed on xxhash64(window): 8-byte exchange
     # BM25: query-term IN-filter BEFORE the (doc,term) exchange, |Q|-row
     # IDF agg, broadcast joins, TakeOrderedAndProject top-k
-    "text_bm25_topk": 5,
+    "text_bm25_topk": 1,  # r14 postings layout: pruned scan -> per-doc sum
     # the multi-query twin: same pre-filtered plan over the UNION of all
     # queries' terms + ONE extra exchange for the per-query rank window
     # (partitioned by query_id — more queries add partitions, not passes)
-    "text_bm25_multi_topk": 6,
+    "text_bm25_multi_topk": 2,  # r14 postings layout
     # RRF: BM25's plan + dense TakeOrdered candidate gen; the fusion
     # windows/outer-join run on <=50-row frames
-    "retrieval_hybrid_rrf": 5,
+    "retrieval_hybrid_rrf": 1,  # r14 postings layout sparse arm
     # same fusion with the partition-pruned IVF-PQ+rerank dense arm
-    "retrieval_hybrid_rrf_ann": 5,
+    "retrieval_hybrid_rrf_ann": 1,  # r14 postings layout sparse arm
     # batched fusion = batched dense (3) + batched BM25 (6) + the
     # full-outer SMJ on (query_id, id) over <=2*CAND-row-per-query
     # frames (2) + the per-query fusion rank window (1) — every
     # exchange after the two corpus passes carries ranks, not data
-    "retrieval_hybrid_rrf_multi": 12,
+    "retrieval_hybrid_rrf_multi": 8,  # r14 postings layout sparse arm
     # batched serving: query_id-fanned candidate exchange + per-query
     # shortlist and top-k rank windows (query_id-partitioned)
     "sim_topk_ivfpq_multi": 3,
+    "sim_topk_ivfpq_multi_filtered": 3,  # r14: filter axis rides the same batched plan
     # funnel survivor chain + DSIR weights (3) + zero-shuffle top-k
     # selection + pack over the persisted k-row selected frame
     "pipeline_curation_dsir": 7,
@@ -270,6 +267,7 @@ MUST_PUSH_FILTER = {
     "retrieval_hybrid_rrf_multi",
     "sim_topk_ivfpq_multi",
     "sim_topk_ivfpq_filtered",  # the label predicate must stay in the scan
+    "sim_topk_ivfpq_multi_filtered",  # same, composed onto the batch axis
     "retrieval_hybrid_rrf",
     "rollup_events_multires",
     "scalar_clean_filter",
@@ -315,7 +313,10 @@ MAX_PQ_SCAN_COLS = 32 + 2  # c0..c31 + vec_id + cell
 # The filtered probe legitimately reads ONE more column: the label
 # predicate is evaluated inside the pruned codes scan (that is the
 # feature), so its code scan is c0..c31 + vec_id + cell + label.
-FILTERED_PQ_SCAN_QUERIES = {"sim_topk_ivfpq_filtered"}
+FILTERED_PQ_SCAN_QUERIES = {
+    "sim_topk_ivfpq_filtered",
+    "sim_topk_ivfpq_multi_filtered",  # r14: codes scan + label, batched
+}
 MAX_FILTERED_PQ_SCAN_COLS = MAX_PQ_SCAN_COLS + 1
 
 # The streaming-verdict gate query returns its job's OWN output parquet —

@@ -227,3 +227,129 @@ def test_multi_hybrid_slice_matches_single(spark, sf_oracle):
     for qid in _MULTI_QUERIES:
         rows = [r for r in batch if r.query_id == qid]
         assert len(rows) == _TOPK, qid
+
+
+# -- r14: the term-bucketed postings layout (VERDICT r13 ask #1) --------------
+
+
+def test_postings_scores_equal_full_scan_twin(spark, sf_oracle):
+    """The layout is a physical change only: postings-backed scores must
+    equal the full-scan formulation (the oracles' SQL) integer-for-integer
+    — same tf, df, dl, the same idf expression, avgdl the same IEEE
+    division of the same exact Σdl/N."""
+    from streaming_data_pipeline_capstone_spark.queries.retrieval import (
+        _bm25_tf_idf,
+        _c_micro,
+    )
+
+    got = {
+        r.doc_id: r.score_micro
+        for r in _bm25_scores(spark, sf_oracle, _QUERY_TERMS).collect()
+    }
+    tf, idf, lens = _bm25_tf_idf(spark, sf_oracle, _QUERY_TERMS)
+    want = {
+        r.doc_id: r.score_micro
+        for r in tf.join(F.broadcast(idf), "term")
+        .join(lens, "doc_id")
+        .select("doc_id", _c_micro())
+        .groupBy("doc_id")
+        .agg(F.sum("c_micro").alias("score_micro"))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_postings_probe_reads_only_query_term_buckets(spark, sf_oracle):
+    """The storage-pruning claim, from the EXECUTED plan: the BM25 serving
+    scan must read exactly the bkt= directories the query terms hash to
+    (one file per bucket — the build writes one writer per bucket), must
+    push the term IN-list into the scan, and must never touch the corpus
+    documents table at serving time."""
+    from streaming_data_pipeline_capstone_spark.operators.text_layout import (
+        ensure_postings_layout,
+        term_bucket_py,
+    )
+
+    meta = ensure_postings_layout(spark, sf_oracle)
+    want_buckets = {
+        term_bucket_py(t, meta["prefix_len"]) for t in _QUERY_TERMS
+    }
+    df = all_queries()["text_bm25_topk"](spark, sf_oracle)
+    df.collect()
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan, "corpus text scanned at serving time"
+    scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PushedFilters" in scan_line and "term" in scan_line.split(
+        "PushedFilters", 1
+    )[1], scan_line
+
+    from tests.test_ann_deployment import _scan_metrics
+
+    scans = [m for m in _scan_metrics(df) if "numFiles" in m]
+    assert scans, "no FileSourceScan leaf with metrics"
+    assert scans[0]["numFiles"] == len(want_buckets), (scans[0], want_buckets)
+
+
+def test_postings_fanout_rule(spark):
+    """The bucket fan-out is a rule of the corpus's distinct-term count,
+    not a constant: 16 buckets at the gate corpus, growing ~terms/4096
+    at vocabulary scale, capped at 16^8."""
+    from streaming_data_pipeline_capstone_spark.operators.text_layout import (
+        postings_prefix_len,
+    )
+
+    assert postings_prefix_len(31) == 1          # gate corpus
+    assert postings_prefix_len(4096) == 1
+    assert postings_prefix_len(100_000) == 2     # 25 buckets needed -> 256
+    assert postings_prefix_len(10**6) == 2
+    assert postings_prefix_len(10**8) == 4       # web-scale vocab -> 65536
+    assert postings_prefix_len(10**20) == 8      # capped
+    # monotone: more terms never shrinks the fan-out
+    vals = [postings_prefix_len(n) for n in (10, 10**4, 10**6, 10**8, 10**10)]
+    assert vals == sorted(vals)
+
+
+def test_postings_absent_terms_empty_and_mixed(spark, sf_oracle):
+    """Terms absent from the corpus contribute nothing: an all-absent
+    query returns an empty frame (even when no probed bucket exists on
+    disk), and a mixed query scores exactly its present terms."""
+    absent = ["zzzzneverseen", "qqqqnotaword"]
+    assert _bm25_scores(spark, sf_oracle, absent).count() == 0
+    mixed = {
+        r.doc_id: r.score_micro
+        for r in _bm25_scores(spark, sf_oracle, absent + ["hash"]).collect()
+    }
+    only = {
+        r.doc_id: r.score_micro
+        for r in _bm25_scores(spark, sf_oracle, ["hash"]).collect()
+    }
+    assert mixed == only and only
+
+
+def test_postings_layout_rebuilds_on_stale_source(spark, tmp_path):
+    """The marker convention: a regenerated corpus (source mtime moved)
+    must trigger a FULL rebuild — scores reflect the new corpus, never
+    stale postings."""
+    import os
+    import time
+
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(1, "hash join"), (2, "scan scan")], "doc_id BIGINT, text STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    first = {
+        r.doc_id: r.score_micro
+        for r in _bm25_scores(spark, d, ["hash", "scan"]).collect()
+    }
+    assert set(first) == {1, 2}
+    time.sleep(1.1)  # parquet mtime granularity
+    spark.createDataFrame(
+        [(7, "window window hash")], "doc_id BIGINT, text STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    second = {
+        r.doc_id: r.score_micro
+        for r in _bm25_scores(spark, d, ["hash", "scan", "window"]).collect()
+    }
+    assert set(second) == {7}, "stale postings survived a corpus regeneration"

@@ -873,3 +873,90 @@ def test_streaming_index_ingest_restart_idempotent(spark, tmpdir):
     # multiple epochs actually landed (it was a real incremental run)
     epochs = {r[0] for r in spark.read.parquet(index_path).select("epoch").distinct().collect()}
     assert len(epochs) >= 2
+
+
+def test_state_index_layout_marker_pins_fanout(spark, tmpdir):
+    """ADVICE r13: the bucket fan-out must stay fixed for the life of an
+    index. First open records the layout; a mismatched reopen fails fast
+    (instead of silently mixing bucket layouts and missing duplicates);
+    compaction — the legitimate rebucket — updates the marker."""
+    import pytest as _pytest
+
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        _merge_batch,
+        check_or_write_index_layout,
+        compact_index,
+    )
+
+    idx = tmpdir + "/idx"
+    check_or_write_index_layout(idx, 1, 16)
+    check_or_write_index_layout(idx, 1, 16)  # same layout: fine
+    with _pytest.raises(ValueError, match="layout mismatch"):
+        check_or_write_index_layout(idx, 2, 256)
+
+    # compaction rebuilds every bkt= with the new fan-outs and re-pins
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+        "doc_id long, text string",
+    )
+    _merge_batch(
+        df, 0, idx, tmpdir + "/pairs", "doc_id", "text", 0.5, 12, 4,
+        bh_prefix_len=1, doc_fanout=16,
+    )
+    compact_index(spark, idx, partitions_per_table=2, bh_prefix_len=2, doc_fanout=256)
+    check_or_write_index_layout(idx, 2, 256)  # new layout now pinned
+    with _pytest.raises(ValueError, match="layout mismatch"):
+        check_or_write_index_layout(idx, 1, 16)
+
+
+def test_compaction_trigger_rule_fires_and_compacts(spark, tmpdir):
+    """VERDICT r13 #3: the compaction trigger is a RULE. Epoch appends
+    grow files-per-bucket; once past the threshold the rule fires,
+    maybe_compact_index compacts (epochs collapse to the sentinel), the
+    rule resets, and verified pairs are unaffected."""
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        _merge_batch,
+        files_per_bucket,
+        index_compaction_due,
+        maybe_compact_index,
+    )
+
+    idx, pairs = tmpdir + "/idx", tmpdir + "/pairs"
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    for epoch in range(4):
+        rows = [
+            (epoch * 10 + i, " ".join(words[i % 3 :]) + f" t{i}")
+            for i in range(3)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        _merge_batch(
+            df, epoch, idx, pairs, "doc_id", "text", 0.5, 12, 4,
+            bh_prefix_len=1, doc_fanout=16,
+        )
+    grown = files_per_bucket(idx)
+    assert grown >= 4, grown  # every epoch adds a file to its hot buckets
+    before = {
+        (r["doc1"], r["doc2"])
+        for r in spark.read.parquet(pairs).collect()
+    }
+    assert not index_compaction_due(idx, max_bucket_files=16)
+    assert index_compaction_due(idx, max_bucket_files=3)
+    assert maybe_compact_index(spark, idx, partitions_per_table=2, max_bucket_files=3)
+    assert files_per_bucket(idx) < grown
+    assert not index_compaction_due(idx, max_bucket_files=3)
+    assert not maybe_compact_index(spark, idx, partitions_per_table=2, max_bucket_files=3)
+    # post-compaction the index still answers: one more epoch finds its
+    # cross-batch near-dup against compacted state
+    df = spark.createDataFrame(
+        [(99, " ".join(words[0:]) + " t0")], "doc_id long, text string"
+    )
+    _merge_batch(
+        df, 9, idx, pairs, "doc_id", "text", 0.5, 12, 4,
+        bh_prefix_len=1, doc_fanout=16,
+    )
+    after = {
+        (r["doc1"], r["doc2"])
+        for r in spark.read.parquet(pairs).collect()
+    }
+    assert before <= after
+    assert any(d2 == 99 for _d1, d2 in after - before), "cross-batch pair lost after compaction"
