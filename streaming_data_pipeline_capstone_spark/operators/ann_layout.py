@@ -134,18 +134,32 @@ _MIN_COARSE_CELLS = 8
 _MAX_COARSE_CELLS = 1 << 16
 
 
-def coarse_cells(n_vectors: int) -> int:
+# FAISS warns below ~39 training points per centroid — centroids trained
+# thinner than that are noise, so the training sample caps k too.
+_MIN_TRAIN_PER_CELL = 39
+
+
+def coarse_cells(n_vectors: int, n_train: int | None = None) -> int:
     """Coarse-quantizer size for an ``n_vectors`` corpus: 4·√n rounded to
     the nearest power of two (probe fan-outs and partition counts stay
     friendly), clamped to [8, 2^16]. The gate corpora (≤50k vectors)
     resolve to small k where the shipped 8-cell codebook's tier lives;
-    a 100 TB corpus (~3e9 vectors) resolves to the 2^16 cap."""
+    a 100 TB corpus (~3e9 vectors) resolves to the 2^16 cap.
+
+    ``n_train`` (the quantizer-training sample size, when training on a
+    sample rather than the corpus) caps k at the power of two keeping
+    ≥ ~39 training points per centroid — FAISS's min-points warning
+    threshold; a k the sample can't populate trains noise centroids and
+    the recall certificate would certify nothing."""
     import math
 
     if n_vectors <= 0:
         return _MIN_COARSE_CELLS
     raw = 4.0 * math.sqrt(n_vectors)
     k = 1 << max(0, round(math.log2(raw)))
+    if n_train is not None and n_train > 0:
+        cap = 1 << max(0, int(math.log2(max(1, n_train / _MIN_TRAIN_PER_CELL))))
+        k = min(k, cap)
     return min(_MAX_COARSE_CELLS, max(_MIN_COARSE_CELLS, k))
 
 

@@ -91,6 +91,65 @@ def _fp_bucket(fp, prefix_len: int = _FP_PREFIX_LEN):
     return F.substring(fp, 1, prefix_len)
 
 
+def fp_compaction_due(state_dir: str, max_bucket_files: int | None = None) -> bool:
+    """The compaction RULE applied to the verdict stream's fingerprint
+    index (VERDICT r13 #3): every epoch adds ~1 file per touched bucket;
+    once any bucket holds more than MAX_BUCKET_FILES epoch-files the
+    per-file open/footer overhead dominates the pruned read and it is
+    time to compact."""
+    import os as _os
+
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        MAX_BUCKET_FILES,
+        files_per_bucket_table,
+    )
+
+    limit = MAX_BUCKET_FILES if max_bucket_files is None else max_bucket_files
+    return files_per_bucket_table(_os.path.join(state_dir, "fp_min")) > limit
+
+
+def compact_fp_index(
+    spark: SparkSession,
+    state_dir: str,
+    fp_prefix_len: int = _FP_PREFIX_LEN,
+    partitions: int = 32,
+) -> None:
+    """Collapse the fingerprint index's epochs into the sentinel and
+    rewrite one file per bucket — compact_index's recipe on the verdict
+    stream's single state table. Only run between stream runs (drain
+    complete / checkpoint committed); re-pins the layout marker since a
+    changed ``fp_prefix_len`` here is the legitimate rebucket path."""
+    import os as _os
+
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        _write_index_layout,
+        compact_epoch_table,
+    )
+
+    compact_epoch_table(
+        spark,
+        _os.path.join(state_dir, "fp_min"),
+        _fp_bucket(F.col("fp"), fp_prefix_len),
+        partitions,
+    )
+    _write_index_layout(state_dir, fp_prefix_len, 16 ** fp_prefix_len)
+
+
+def maybe_compact_fp_index(
+    spark: SparkSession,
+    state_dir: str,
+    fp_prefix_len: int = _FP_PREFIX_LEN,
+    partitions: int = 32,
+    max_bucket_files: int | None = None,
+) -> bool:
+    """Apply the rule at the maintenance point; returns whether a
+    compaction ran."""
+    if not fp_compaction_due(state_dir, max_bucket_files):
+        return False
+    compact_fp_index(spark, state_dir, fp_prefix_len, partitions)
+    return True
+
+
 VERDICT_COLUMNS = [
     "doc_id",
     "keep_dedup",
@@ -281,6 +340,7 @@ def start_verdict_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     expected_batch_docs: int | None = None,
+    fp_prefix_len: int | None = None,
 ) -> StreamingQuery:
     """Start the verdict job over a (doc_id, lang, text) document stream.
     Verdicts land under ``out_dir`` (epoch-partitioned parquet); the
@@ -288,17 +348,21 @@ def start_verdict_stream(
 
     ``expected_batch_docs`` sizes the fp-index bucket fan-out by the
     dedup_stream rule; omitted, the gate default (16 buckets) applies.
-    Keep the value fixed across restarts of the same ``state_dir``."""
+    ``fp_prefix_len`` overrides both — the restart-after-rebucket path,
+    where the index's pinned layout (not the batch-size rule) is the
+    address scheme. Keep the effective value fixed across restarts of
+    the same ``state_dir``; the layout marker fails fast if not."""
     from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
         check_or_write_index_layout,
         state_bucket_prefix_len,
     )
 
-    fp_prefix_len = (
-        state_bucket_prefix_len(expected_batch_docs)
-        if expected_batch_docs is not None
-        else _FP_PREFIX_LEN
-    )
+    if fp_prefix_len is None:
+        fp_prefix_len = (
+            state_bucket_prefix_len(expected_batch_docs)
+            if expected_batch_docs is not None
+            else _FP_PREFIX_LEN
+        )
     # a key's bucket is its address: pin the fan-out for the life of the
     # state dir, fail fast on a mismatched restart (ADVICE r13; the
     # fp-index has one bucketed table, so doc_fanout mirrors prefix_len)

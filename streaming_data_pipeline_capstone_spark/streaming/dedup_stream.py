@@ -488,24 +488,30 @@ def exact_dedup_stream(
 MAX_BUCKET_FILES = 16
 
 
-def files_per_bucket(index_dir: str) -> int:
-    """Max parquet-file count under any one bkt= of either index table —
-    the quantity the compaction rule thresholds (directory metadata, one
-    tree listing, no data read)."""
+def files_per_bucket_table(table_path: str) -> int:
+    """Max parquet-file count under any one bkt= of ONE epoch-partitioned
+    state table (directory metadata, one tree listing, no data read)."""
     worst = 0
-    for sub in ("bands", "sets"):
-        table = os.path.join(index_dir, sub)
-        if not os.path.isdir(table):
+    if not os.path.isdir(table_path):
+        return 0
+    for bdir in os.listdir(table_path):
+        full = os.path.join(table_path, bdir)
+        if not (bdir.startswith("bkt=") and os.path.isdir(full)):
             continue
-        for bdir in os.listdir(table):
-            full = os.path.join(table, bdir)
-            if not (bdir.startswith("bkt=") and os.path.isdir(full)):
-                continue
-            n = 0
-            for _root, _dirs, files in os.walk(full):
-                n += sum(f.endswith(".parquet") for f in files)
-            worst = max(worst, n)
+        n = 0
+        for _root, _dirs, files in os.walk(full):
+            n += sum(f.endswith(".parquet") for f in files)
+        worst = max(worst, n)
     return worst
+
+
+def files_per_bucket(index_dir: str) -> int:
+    """Max files-per-bucket across both dedup index tables — the quantity
+    the compaction rule thresholds."""
+    return max(
+        files_per_bucket_table(os.path.join(index_dir, sub))
+        for sub in ("bands", "sets")
+    )
 
 
 def index_compaction_due(
@@ -563,27 +569,52 @@ def compact_index(
     started with — so compaction collapses epochs without breaking
     pruning. Run it from a maintenance job, not the hot path.
     """
-    for sub, key, bucket in (
-        ("bands", "bh", _bh_bucket(F.col("bh"), bh_prefix_len)),
-        ("sets", "doc", _doc_bucket(F.col("doc"), doc_fanout)),
+    for sub, bucket in (
+        ("bands", _bh_bucket(F.col("bh"), bh_prefix_len)),
+        ("sets", _doc_bucket(F.col("doc"), doc_fanout)),
     ):
-        path = os.path.join(index_dir, sub)
-        df = spark.read.parquet(path).drop("epoch", "bkt")
-        tmp = path + "__compacting"
-        df.repartition(partitions_per_table, key).write.mode("overwrite").parquet(tmp)
-        compacted = (
-            spark.read.parquet(tmp)
-            .withColumn("bkt", bucket)
-            .withColumn("epoch", F.lit(-1))
+        compact_epoch_table(
+            spark, os.path.join(index_dir, sub), bucket, partitions_per_table
         )
-        compacted.write.mode("overwrite").partitionBy("bkt", "epoch").parquet(path)
-        try:
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
-        except Exception:
-            pass
     # compaction rebuilds every bkt= from the key expressions, so it is
     # the one legitimate layout change — record the (possibly new)
     # fan-outs so the next stream start checks against THIS layout
     _write_index_layout(index_dir, bh_prefix_len, doc_fanout)
+
+
+def compact_epoch_table(
+    spark, path: str, bucket, partitions_per_table: int = 32
+) -> None:
+    """Compact ONE epoch-partitioned, bucket-partitioned state table:
+    collapse every epoch into the sentinel ``epoch=-1`` and rewrite each
+    bucket as ONE file (a ``repartition`` on the bucket key — the
+    fan-out rule already sizes buckets to be file-sized, so one file per
+    bucket is the shape the per-batch pruned read wants). The shared
+    core of :func:`compact_index` (bands/sets) and the curation stream's
+    fingerprint index (curation_stream.compact_fp_index). Same contract:
+    only run with the stream stopped and its checkpoint committed."""
+    df = spark.read.parquet(path).drop("epoch", "bkt")
+    tmp = path + "__compacting"
+    # ONE exchange, on the bucket key: the tmp staging (required because
+    # the final write overwrites the path being read) is already in
+    # bucket shape, and the final partitioned write re-emits it one file
+    # per bucket without another shuffle
+    (
+        df.withColumn("bkt", bucket)
+        .withColumn("epoch", F.lit(-1))
+        .repartition(partitions_per_table, "bkt")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    (
+        spark.read.parquet(tmp)
+        .write.mode("overwrite")
+        .partitionBy("bkt", "epoch")
+        .parquet(path)
+    )
+    try:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    except Exception:
+        pass

@@ -598,6 +598,11 @@ def test_coarse_cells_rule_and_retrain_trigger():
     k0 = coarse_cells(10**6)
     assert not coarse_retrain_due(k0, 2 * 10**6)
     assert coarse_retrain_due(k0, 10 * 10**6)
+    # the training sample caps k at ~39 points/centroid (FAISS's floor):
+    # the sf1 rig (20k corpus, 4k training sample) resolves to 64 cells
+    assert coarse_cells(20_000) == 512
+    assert coarse_cells(20_000, n_train=4_000) == 64
+    assert coarse_cells(20_000, n_train=10**9) == 512  # cap only binds downward
 
 
 def test_multi_filtered_slice_pins_to_single_filtered(spark, sf_oracle):

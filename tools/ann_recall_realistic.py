@@ -72,7 +72,14 @@ KMEANS_ITERS = 5
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--eval-dir", default=os.path.join(REPO, ".sf1"))
-    ap.add_argument("--kmeans-k", type=int, default=64)
+    ap.add_argument(
+        "--kmeans-k",
+        type=int,
+        default=None,
+        help="coarse cells; default = the coarse_cells(n, n_train) RULE "
+        "(operators/ann_layout.py, r14): 4·√n pow2-rounded, capped by the "
+        "training sample at ~39 points/centroid",
+    )
     ap.add_argument("--nprobes", default="4,8,16")
     ap.add_argument("--reranks", default="50,100,200")
     ap.add_argument("--n-queries", type=int, default=20)
@@ -115,6 +122,19 @@ def main() -> None:
     )
     n_train = train_vecs.count()
     print(f"training on {n_train} sampled vectors", file=sys.stderr)
+    kmeans_k_rule = None
+    if args.kmeans_k is None:
+        from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+            coarse_cells,
+        )
+
+        n_corpus = emb.count()
+        args.kmeans_k = coarse_cells(n_corpus, n_train)
+        kmeans_k_rule = (
+            f"coarse_cells(n={n_corpus}, n_train={n_train}) = {args.kmeans_k}"
+            " (4·√n pow2, capped at n_train/39 per centroid)"
+        )
+        print(kmeans_k_rule, file=sys.stderr)
     books = pq_train(train_vecs, PQ_SUBS, DIM // PQ_SUBS, PQ_K, PQ_ITERS)
     cents = np.asarray(
         lloyd_kmeans_centroids(train_vecs, args.kmeans_k, KMEANS_ITERS)
@@ -197,6 +217,7 @@ def main() -> None:
         "query_stride": stride,
         "top_k": TOP_K,
         "kmeans_k": args.kmeans_k,
+        "kmeans_k_rule": kmeans_k_rule or "explicit --kmeans-k",
         "train_sample": f"vec_id % {args.train_mod} == 0 ({n_train} vectors)",
         "pq_config": {
             "pq_subs": PQ_SUBS,

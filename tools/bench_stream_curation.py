@@ -235,12 +235,250 @@ def run_stream_curation_scale_probe(spark, sf_dir: str) -> dict:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def run_stream_compaction_probe(spark, sf_dir: str) -> dict:
+    """The compaction-trigger probe (VERDICT r13 #3): quantify what the
+    rule buys back at the fan-out-4096 toy-scale cliff.
+
+    Three phases over a TRIPLED corpus against one persistent fp index,
+    identical per-batch doc counts throughout:
+
+    - phase A: rule fan-out (expected_batch_docs → prefix 3 = 4096
+      buckets), index growing 0→N — the r13 cliff band (~11.7 s/batch);
+    - compact (epochs → sentinel, ONE file per bucket) at the same
+      fan-out, then phase B: N→2N — isolates the read-side file-count
+      recovery while per-batch WRITE fan-out stays 4096;
+    - compact + REBUCKET to fan-out 16 (the r13 note's own prescription:
+      at toy scale per-bucket slivers are far below file size, so the
+      file-count control is a smaller fan-out chosen AT COMPACTION
+      TIME), then phase C: 2N→3N — the write fan-out drops too, pulling
+      per-batch wall back toward the fan-out-16 band (~2.0 s in the r12
+      probe).
+
+    The artifact records files-per-bucket before/after each compaction
+    and the per-phase per-batch walls. Honest note: at this toy scale
+    the default files-per-bucket threshold (16) correctly does NOT fire
+    after 10 epochs at fan-out 4096 (each batch touches ~11% of buckets,
+    so per-bucket file counts sit at ~2-4); the probe compacts with a
+    threshold of 1 to measure the effect the rule exists to bound."""
+    from streaming_data_pipeline_capstone_spark.streaming.curation_stream import (
+        compact_fp_index,
+        maybe_compact_fp_index,
+        start_verdict_stream,
+    )
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        files_per_bucket_table,
+        state_bucket_prefix_len,
+    )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    n_docs = docs.count()
+    shift = docs.agg({"doc_id": "max"}).collect()[0][0] + 1
+    tripled = docs
+    for i in (1, 2):
+        tripled = tripled.unionByName(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * shift)).alias("doc_id"),
+                "lang",
+                "text",
+            )
+        )
+    beta = fit_quality_model(spark, sf_dir)
+
+    workdir = tempfile.mkdtemp(prefix="bench_stream_compaction_")
+    try:
+        replay_dir = os.path.join(workdir, "replay")
+        schema = replay_to_files(
+            tripled, replay_dir, 3 * NUM_CHUNKS, order_col="doc_id"
+        )
+        hidden = os.path.join(workdir, "hidden")
+        os.makedirs(hidden)
+        all_chunks = [f"chunk={i:05d}" for i in range(3 * NUM_CHUNKS)]
+        for c in all_chunks[NUM_CHUNKS:]:
+            shutil.move(os.path.join(replay_dir, c), os.path.join(hidden, c))
+
+        out_dir = os.path.join(workdir, "verdicts")
+        state_dir = os.path.join(workdir, "state")
+        ckpt = os.path.join(workdir, "ckpt")
+        batch_docs = n_docs // NUM_CHUNKS
+        rule_prefix = state_bucket_prefix_len(batch_docs)
+        fp_path = os.path.join(state_dir, "fp_min")
+
+        def drain(prefix_len):
+            t0 = time.perf_counter()
+            q = start_verdict_stream(
+                stream_from_replay(spark, replay_dir, schema),
+                beta,
+                out_dir,
+                state_dir,
+                ckpt,
+                fp_prefix_len=prefix_len,
+            )
+            q.awaitTermination()
+            return time.perf_counter() - t0, _phase_batch_times(q.recentProgress)
+
+        def reveal(phase):
+            for c in all_chunks[phase * NUM_CHUNKS : (phase + 1) * NUM_CHUNKS]:
+                shutil.move(os.path.join(hidden, c), os.path.join(replay_dir, c))
+
+        _eA, tA = drain(rule_prefix)
+        files_a = files_per_bucket_table(fp_path)
+        compacted_b = maybe_compact_fp_index(
+            spark, state_dir, fp_prefix_len=rule_prefix, max_bucket_files=1
+        )
+        files_b = files_per_bucket_table(fp_path)
+        reveal(1)
+        _eB, tB = drain(rule_prefix)
+
+        # compaction is the legitimate rebucket point: collapse AND move
+        # to the fan-out the toy-scale file-size floor wants
+        compact_fp_index(spark, state_dir, fp_prefix_len=1)
+        files_c = files_per_bucket_table(fp_path)
+        reveal(2)
+        _eC, tC = drain(1)
+
+        assert read_index(spark, out_dir).count() == 3 * n_docs
+
+        def mean(xs):
+            return round(sum(xs) / max(len(xs), 1), 3)
+
+        return {
+            "metric": "stream_compaction_probe",
+            "unit": "sec_per_batch",
+            "value": mean(tC),
+            "docs_per_phase": n_docs,
+            "batches_per_phase": NUM_CHUNKS,
+            "rule": {
+                "expected_batch_docs": batch_docs,
+                "phaseA_fanout": 16 ** rule_prefix,
+                "files_per_bucket_after_phaseA": files_a,
+                "compaction_ran": bool(compacted_b),
+                "files_per_bucket_after_compact": files_b,
+                "files_per_bucket_after_rebucket_to_16": files_c,
+                "default_threshold": 16,
+                "note": (
+                    "default threshold correctly does not fire at toy "
+                    "scale (files/bucket ~2-4 after 10 epochs at fan-out "
+                    "4096); probe compacts at threshold 1 to measure the "
+                    "bound the rule enforces"
+                ),
+            },
+            "phaseA_fanout4096": {
+                "mean_batch_sec": mean(tA),
+                "batch_sec": [round(x, 3) for x in tA],
+            },
+            "phaseB_fanout4096_compacted": {
+                "mean_batch_sec": mean(tB),
+                "batch_sec": [round(x, 3) for x in tB],
+            },
+            "phaseC_rebucketed_to_16": {
+                "mean_batch_sec": mean(tC),
+                "batch_sec": [round(x, 3) for x in tC],
+            },
+            "reference_bands": {
+                "r13_fanout4096_mean_batch_sec": 11.747,
+                "r12_fanout16_mean_batch_sec": 2.0,
+            },
+            "sf_dir": sf_dir,
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def run_stream_asymptote_probe(spark, sf_dir: str, batch_docs: int = 25_000) -> dict:
+    """Validate the r13 throughput floor model at a PRODUCTION-SIZED
+    batch (VERDICT r13 ask #5): the batch-size sweep fit
+    T ≈ 2.6 s + 0.13 ms/doc per epoch, predicting ~7.7k docs/s
+    asymptotically; this runs the 25k-doc batch point (5× the corpus
+    replicated id-shifted into each micro-batch) and compares the
+    measured rate to the model's prediction for this batch size."""
+    FIXED_S, PER_DOC_S = 2.6, 0.00013  # the r13 fitted model
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    n_docs = docs.count()
+    shift = docs.agg({"doc_id": "max"}).collect()[0][0] + 1
+    copies = max(1, batch_docs // n_docs)
+    n_batches = 2  # two batches: the 2nd also exercises non-empty state
+    big = docs
+    for i in range(1, copies * n_batches):
+        big = big.unionByName(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * shift)).alias("doc_id"),
+                "lang",
+                "text",
+            )
+        )
+    total = copies * n_batches * n_docs
+    beta = fit_quality_model(spark, sf_dir)
+
+    samples = []
+    batch_secs = []
+    for _run in range(3):
+        workdir = tempfile.mkdtemp(prefix="bench_stream_asym_")
+        try:
+            replay_dir = os.path.join(workdir, "replay")
+            schema = replay_to_files(big, replay_dir, n_batches, order_col="doc_id")
+            t0 = time.perf_counter()
+            # default fan-out (16), matching the sweep the model was fit
+            # on — the probe validates the MODEL, so hold its conditions
+            q = start_verdict_stream(
+                stream_from_replay(spark, replay_dir, schema),
+                beta,
+                os.path.join(workdir, "verdicts"),
+                os.path.join(workdir, "state"),
+                os.path.join(workdir, "ckpt"),
+            )
+            q.awaitTermination()
+            elapsed = time.perf_counter() - t0
+            assert (
+                read_index(spark, os.path.join(workdir, "verdicts")).count()
+                == total
+            )
+            samples.append(round(total / elapsed, 1))
+            batch_secs.append([round(x, 3) for x in _phase_batch_times(q.recentProgress)])
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+    per_batch = copies * n_docs
+    pred_batch_sec = FIXED_S + PER_DOC_S * per_batch
+    pred_rate = round(per_batch / pred_batch_sec, 1)
+    med = sorted(samples)[len(samples) // 2]
+    return {
+        "metric": "stream_curation_rate_25k",
+        "unit": "docs_per_sec",
+        "value": med,
+        "samples": samples,
+        "batch_sec": batch_secs,
+        "docs_per_batch": per_batch,
+        "micro_batches": n_batches,
+        "model": {
+            "form": "T = 2.6s + 0.13ms/doc (r13 fit)",
+            "predicted_batch_sec": round(pred_batch_sec, 2),
+            "predicted_rate": pred_rate,
+            "asymptote": 7692.0,
+            "measured_over_predicted": round(med / pred_rate, 2),
+        },
+        "sf_dir": sf_dir,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench-stream-curation")
     spark.range(1).count()
     if "--scale-probe" in sys.argv:
         print(json.dumps(run_stream_curation_scale_probe(spark, sf_dir)))
+    elif "--compaction-probe" in sys.argv:
+        print(json.dumps(run_stream_compaction_probe(spark, sf_dir)))
+    elif "--asymptote-probe" in sys.argv:
+        print(json.dumps(run_stream_asymptote_probe(spark, sf_dir)))
     else:
         print(json.dumps(run_stream_curation_bench(spark, sf_dir)))
     spark.stop()
