@@ -163,17 +163,21 @@ def coarse_cells(n_vectors: int, n_train: int | None = None) -> int:
     return min(_MAX_COARSE_CELLS, max(_MIN_COARSE_CELLS, k))
 
 
-def coarse_retrain_due(current_k: int, n_vectors: int) -> bool:
+def coarse_retrain_due(
+    current_k: int, n_vectors: int, n_train: int | None = None
+) -> bool:
     """When a GROWN corpus must retrain its coarse quantizer: once the
     rule's k for the current size reaches 2x the trained k (a decade of
     growth under the √-law is ~3.2x in k, so this fires mid-decade).
+    ``n_train`` caps the rule's k like :func:`coarse_cells` — a k the
+    training sample can't populate is not a reason to retrain.
     Retraining is rebuild-as-compaction: retrain centroids
     (tools/train_codebooks.py), rebuild the layout, re-run
     tools/ann_recall.py and record the recall artifact before serving —
     the probe set of the old quantizer is meaningless under new
     centroids, so the swap is atomic (build beside, then repoint), never
     in place."""
-    return coarse_cells(n_vectors) >= 2 * current_k
+    return coarse_cells(n_vectors, n_train) >= 2 * current_k
 
 
 # Layout schema version: bump when the stored column set changes so stale
