@@ -198,9 +198,17 @@ def main() -> None:
         "decision": None,  # filled below
     }
     if a <= b * 1.15:
+        # word the decision by what the measurement actually says (VERDICT
+        # r13 #5: the r13 run measured 0.70x — FASTER, not merely "within
+        # 15%" — and the decision text should not undersell its evidence)
+        rel = (
+            f"{round(a / b, 2)}x the 16x4x256 probe latency (faster)"
+            if a < b
+            else f"within {round((a / b - 1) * 100)}% of 16x4x256"
+        )
         artifact["decision"] = (
-            "KEEP 32x2x64: probe latency within 15% of 16x4x256 at sf0.1, "
-            "and it carries +0.02 composed recall."
+            f"KEEP 32x2x64: {rel} at sf0.1, and it carries +0.02 composed "
+            "recall."
         )
     else:
         artifact["decision"] = (
