@@ -14,7 +14,7 @@ buckets its terms live in.
 
 Layout (``<repo>/.text_layout/<slug>/bkt=<h>/``), one row per (term, doc):
 
-    term string, doc_id bigint, tf bigint, dl int, df bigint
+    term string, doc_id bigint, tf bigint, dl int, df bigint, lang string
 
 - ``dl`` (doc token length) rides IN the row — Lucene's norms-next-to-
   postings design — so scoring never joins a corpus-sized doc-length
@@ -65,8 +65,11 @@ _REPO = os.path.dirname(
 _TEXT_LAYOUT_ROOT = os.path.join(_REPO, ".text_layout")
 
 # Bump when the stored column set / bucketing changes, so stale layouts
-# rebuild once instead of failing obscurely.
-_SCHEMA_VERSION = 1
+# rebuild once instead of failing obscurely. v2 (r14): document metadata
+# (lang) rides in the postings row, so metadata-filtered sparse retrieval
+# evaluates its predicate inside the pruned scan — the ANN layout's
+# schema-v2 move (label in the codes row) applied to text.
+_SCHEMA_VERSION = 2
 
 # Fan-out rule target: keep buckets small enough that one bucket is a
 # few files / row groups, large enough that fan-out doesn't explode into
@@ -160,10 +163,19 @@ def ensure_postings_layout(spark: SparkSession, sf_dir: str) -> dict:
             meta["path"] = out
             return meta
 
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("t")
+    docs_tbl = read_table(spark, sf_dir, "documents")
+    # metadata column is optional in ad-hoc corpora (test fixtures, raw
+    # crawls before lang-ID): store null, the filter queries then simply
+    # match nothing for such docs
+    lang = (
+        F.col("lang")
+        if "lang" in docs_tbl.columns
+        else F.lit(None).cast("string")
     )
-    lens = docs.select("doc_id", F.size("t").alias("dl"))
+    docs = docs_tbl.select(
+        "doc_id", lang.alias("lang"), tokens("text").alias("t")
+    )
+    lens = docs.select("doc_id", "lang", F.size("t").alias("dl"))
     # the two corpus constants, as EXACT integers (avgdl = sum_dl/n_docs
     # is then the same correctly-rounded IEEE division in every engine)
     n_docs, sum_dl = lens.agg(
@@ -186,6 +198,7 @@ def ensure_postings_layout(spark: SparkSession, sf_dir: str) -> dict:
             "tf",
             "dl",
             "df",
+            "lang",
             _term_bucket_col("term", prefix_len).alias("bkt"),
         )
     )
@@ -219,8 +232,8 @@ def read_postings(
     """Pruned postings read for a query-term list: list ONLY the bkt=
     directories the terms hash to (a per-query literal — no Spark job),
     then filter ``term IN (...)`` inside the scan for row-group pruning
-    within a bucket. Returns (term, doc_id, tf, dl, df); empty frame when
-    no probed bucket exists (no query term occurs in the corpus)."""
+    within a bucket. Returns (term, doc_id, tf, dl, df, lang); empty
+    frame when no probed bucket exists (no query term in the corpus)."""
     from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
         _existing_bucket_paths,  # one Hadoop globStatus of the layout root —
         # remote schemes work, cost bounded by the fan-out constant
@@ -231,11 +244,13 @@ def read_postings(
     sub = _existing_bucket_paths(spark, path, buckets)
     if not sub:
         return spark.createDataFrame(
-            [], "term string, doc_id bigint, tf bigint, dl int, df bigint"
+            [],
+            "term string, doc_id bigint, tf bigint, dl int, df bigint, "
+            "lang string",
         )
     return (
         spark.read.option("basePath", path)
         .parquet(*sub)
         .filter(F.col("term").isin(terms))
-        .select("term", "doc_id", "tf", "dl", "df")
+        .select("term", "doc_id", "tf", "dl", "df", "lang")
     )

@@ -83,6 +83,7 @@ def _bm25_base(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
         "term",
         "tf",
         "dl",
+        "lang",
         F.lit(avgdl).alias("avgdl"),
         F.log(1.0 + (F.lit(n_docs) - dfd + 0.5) / (dfd + 0.5)).alias("idf"),
     )
@@ -402,4 +403,143 @@ def text_bm25_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _TOPK)
         .select("query_id", "doc_id", "score_micro", "rank")
+    )
+
+
+# -- metadata-filtered BM25: the sparse filter axis (r14) ---------------------
+# The sparse twin of sim_topk_ivfpq_filtered: "top-k BM25 matches AMONG
+# documents satisfying a metadata predicate" (lang-scoped corpus search,
+# per-license retrieval). Scoring statistics stay CORPUS-GLOBAL (df, N,
+# avgdl — the standard filtered-search semantics, same as the ANN probe
+# keeping its distances), only the candidate set is restricted. The
+# scale-correct plan evaluates the predicate INSIDE the pruned postings
+# scan: metadata rides in the postings row (text_layout schema v2), so
+# no corpus-sized doc->metadata join ever happens at serving time.
+
+_FILTER_LANG = "de"
+
+
+def _bm25_filtered_oracle() -> str:
+    return f"""
+    WITH {_bm25_ctes(_QUERY_TERMS)}
+    SELECT bm.doc_id, bm.score_micro
+    FROM bm JOIN (SELECT doc_id FROM documents WHERE lang = '{_FILTER_LANG}')
+        USING (doc_id)
+    ORDER BY score_micro DESC, doc_id ASC
+    LIMIT {_TOPK}
+    """
+
+
+@register("text_bm25_filtered_topk", _bm25_filtered_oracle())
+def text_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BM25 documents for the standing query AMONG lang='{lang}'
+    documents only — corpus-global statistics, candidate set restricted
+    by the in-layout metadata predicate.""".format(lang=_FILTER_LANG)
+    contrib = (
+        _bm25_base(spark, sf_dir, _QUERY_TERMS)
+        .filter(F.col("lang") == _FILTER_LANG)
+        .select("doc_id", _c_micro())
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c_micro").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(_TOPK)
+    )
+
+
+# -- query-likelihood retrieval (Dirichlet smoothing) over the same layout ----
+# Zhai & Lafferty 2001's Dirichlet-smoothed query-likelihood model — the
+# other classical sparse scorer — served from the SAME postings layout:
+#
+#   score(D, Q) = Σ_{t ∈ Q} ln( (tf(t,D) + μ·cf(t)/|C|) / (|D| + μ) )
+#
+# over documents matching ≥1 query term (the candidate convention). All
+# inputs come from the probed buckets + the marker: cf(t) (collection
+# frequency) is the per-term Σtf over that term's own postings — complete
+# by construction since a term's postings live in its bucket — and |C|
+# (total corpus tokens) is the marker's exact Σdl. The per-(doc, term)
+# grid is candidates × |Q| terms — the same query-term-bounded scale as
+# the BM25 contribution frame; absent terms contribute their smoothed
+# background mass via the left join's null→0. Contributions are rounded
+# ONCE to integer micro-nats (negative BIGINTs — log-probabilities), so
+# per-doc scores are order-independent integer sums in both engines.
+
+_QLD_MU = 10.0  # Dirichlet pseudo-count, ~ the gate corpus's avgdl
+
+
+def _qld_oracle() -> str:
+    tl = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    lens AS (SELECT doc_id, len(t) AS dl FROM d),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM d)
+      WHERE term IN ({tl})
+      GROUP BY doc_id, term
+    ),
+    cf AS (SELECT term, CAST(SUM(tf) AS DOUBLE) AS cf FROM tf GROUP BY term),
+    c AS (SELECT CAST(SUM(dl) AS DOUBLE) AS c FROM lens),
+    cand AS (SELECT DISTINCT tf.doc_id, lens.dl FROM tf JOIN lens USING (doc_id)),
+    grid AS (SELECT cand.doc_id, cand.dl, cf.term, cf.cf FROM cand CROSS JOIN cf),
+    contrib AS (
+      SELECT g.doc_id,
+             CAST(round(ln((COALESCE(tf.tf, 0) + {_QLD_MU} * g.cf / c.c)
+                           / (g.dl + {_QLD_MU})) * {_MICRO}.0, 0) AS BIGINT) AS c_micro
+      FROM grid g LEFT JOIN tf ON g.doc_id = tf.doc_id AND g.term = tf.term, c
+    ),
+    ql AS (
+      SELECT doc_id, CAST(SUM(c_micro) AS BIGINT) AS ql_micro
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, ql_micro FROM ql
+    ORDER BY ql_micro DESC, doc_id ASC
+    LIMIT {_TOPK}
+    """
+
+
+@register("text_qld_topk", _qld_oracle())
+def text_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by Dirichlet query likelihood (integer micro-nat
+    scores) for the standing query, served from the postings layout —
+    candidates x |Q| grid, zero corpus scans."""
+    from streaming_data_pipeline_capstone_spark.operators.text_layout import (
+        ensure_postings_layout,
+        read_postings,
+    )
+
+    meta = ensure_postings_layout(spark, sf_dir)
+    post = read_postings(spark, meta, _QUERY_TERMS)
+    c_total = float(meta["sum_dl"])
+    cf = post.groupBy("term").agg(F.sum("tf").cast("double").alias("cf"))
+    cand = post.select("doc_id", "dl").distinct()
+    grid = cand.crossJoin(F.broadcast(cf))
+    tfd = F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+    contrib = (
+        grid.join(
+            post.select("doc_id", "term", "tf"), ["doc_id", "term"], "left"
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (tfd + _QLD_MU * F.col("cf") / F.lit(c_total))
+                    / (F.col("dl").cast("double") + _QLD_MU)
+                )
+                * _MICRO,
+                0,
+            )
+            .cast("bigint")
+            .alias("c_micro"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c_micro").alias("ql_micro"))
+        .orderBy(F.desc("ql_micro"), F.asc("doc_id"))
+        .limit(_TOPK)
     )

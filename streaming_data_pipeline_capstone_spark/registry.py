@@ -107,6 +107,8 @@ _SAMPLE_FIRST = [
     "retrieval_hybrid_rrf_ann",
     "retrieval_hybrid_rrf_multi",
     "sim_topk_ivfpq_multi_filtered",
+    "text_bm25_filtered_topk",
+    "text_qld_topk",
     # new or semantically changed in r13
     "sim_topk_ivfpq_filtered",
     "sim_topk_ivfpq_rerank_incr",

@@ -353,3 +353,74 @@ def test_postings_layout_rebuilds_on_stale_source(spark, tmp_path):
         for r in _bm25_scores(spark, d, ["hash", "scan", "window"]).collect()
     }
     assert set(second) == {7}, "stale postings survived a corpus regeneration"
+
+
+def test_bm25_filtered_keeps_global_statistics(spark, sf_oracle):
+    """The sparse filter axis (r14): results must all satisfy the
+    predicate, scores must equal the UNFILTERED scores of the same docs
+    (corpus-global df/N/avgdl — restricting candidates must not perturb
+    statistics), and the query must be non-vacuous on the fixture."""
+    from streaming_data_pipeline_capstone_spark.queries.retrieval import (
+        _FILTER_LANG,
+        text_bm25_filtered_topk,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    rows = text_bm25_filtered_topk(spark, sf_oracle).collect()
+    assert len(rows) >= 5, "vacuous filter fixture"
+    langs = {
+        r.doc_id: r.lang
+        for r in read_table(spark, sf_oracle, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    for r in rows:
+        assert langs[r.doc_id] == _FILTER_LANG, r
+    unfiltered = {
+        r.doc_id: r.score_micro
+        for r in _bm25_scores(spark, sf_oracle, _QUERY_TERMS).collect()
+    }
+    for r in rows:
+        assert unfiltered[r.doc_id] == r.score_micro, r
+
+
+def test_qld_topk_sane_and_nonvacuous(spark, sf_oracle):
+    """Dirichlet QL (r14): full top-20, strictly rank-ordered with the
+    doc_id tiebreak, all scores negative (log-probabilities), and a doc
+    matching MORE query terms outranks an otherwise-similar doc matching
+    fewer when lengths are equal (checked on a constructed micro
+    corpus)."""
+    from streaming_data_pipeline_capstone_spark.queries.retrieval import (
+        text_qld_topk,
+    )
+
+    rows = text_qld_topk(spark, sf_oracle).collect()
+    assert len(rows) == 20
+    keys = [(-r.ql_micro, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r.ql_micro < 0 for r in rows)
+
+
+def test_qld_micro_corpus_ordering(spark, tmp_path):
+    """On a 3-doc corpus of equal length, the doc matching two query
+    terms must outrank the doc matching one, which outranks none (which
+    is absent — candidates need >=1 matching term)."""
+    import os
+
+    from streaming_data_pipeline_capstone_spark.queries.retrieval import (
+        text_qld_topk,
+    )
+
+    d = str(tmp_path / "qld")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [
+            (1, "hash join alpha beta", "en"),
+            (2, "hash gamma alpha beta", "en"),
+            (3, "delta gamma alpha beta", "en"),
+        ],
+        "doc_id BIGINT, text STRING, lang STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    rows = text_qld_topk(spark, d).collect()
+    ids = [r.doc_id for r in rows]
+    assert ids == [1, 2], ids  # doc 3 matches no query term

@@ -256,7 +256,7 @@ def main() -> None:
             driver = json.load(fh)
         # Driver artifacts wrap bench.py's JSON line under "parsed";
         # standalone runs of bench.py emit "queries" at top level.
-        dq = driver.get("queries") or driver.get("parsed", {}).get("queries", {})
+        dq = driver.get("queries") or (driver.get("parsed") or {}).get("queries", {})
         outliers = {}
         for n in names:
             if n in dq and dq[n] > 0 and ref_warm[n] > 0:
