@@ -543,3 +543,69 @@ def text_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ql_micro"), F.asc("doc_id"))
         .limit(_TOPK)
     )
+
+
+# -- streaming postings-index ingestion (r14) ---------------------------------
+# The sparse twin of stream_ann_index_ingest: documents replayed as a
+# real Structured Streaming job land per-batch postings epochs + additive
+# corpus-stat epochs; the standing BM25 query answered FROM the streamed
+# index shares text_bm25_topk's oracle — a hash match certifies streamed
+# sparse-index freshness end to end (one oracle, both index forms).
+
+
+def _streamed_text_index(spark: SparkSession, sf_dir: str) -> str:
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from streaming_data_pipeline_capstone_spark.operators.text_layout import (
+        _source_mtime,
+        postings_layout_path,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.replay import (
+        replay_to_files,
+        stream_from_replay,
+    )
+    from streaming_data_pipeline_capstone_spark.streaming.text_index_stream import (
+        streaming_postings_ingest,
+    )
+
+    work = postings_layout_path(sf_dir) + "-streamed"
+    index_dir = f"{work}/index"
+    marker = _os.path.join(work, "_STREAMED_META.json")
+    src_mtime = _source_mtime(sf_dir)
+    if _os.path.exists(marker):
+        with open(marker) as fh:
+            meta = _json.load(fh)
+        if meta.get("source_mtime") == src_mtime:
+            return index_dir
+    _shutil.rmtree(work, ignore_errors=True)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    replay_dir = f"{work}/replay"
+    schema = replay_to_files(docs, replay_dir, 3, order_col="doc_id")
+    q = streaming_postings_ingest(
+        stream_from_replay(spark, replay_dir, schema),
+        index_dir,
+        f"{work}/ckpt",
+    )
+    q.awaitTermination()
+    with open(marker, "w") as fh:
+        _json.dump({"source_mtime": src_mtime}, fh)
+    return index_dir
+
+
+@register("stream_text_index_ingest", _bm25_oracle(_QUERY_TERMS, _TOPK))
+def stream_text_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest the documents as a 3-micro-batch stream into a fresh
+    postings index (foreachBatch -> idempotent bucketed epochs + additive
+    stats epochs), then answer the standing BM25 top-20 FROM the streamed
+    index — output and oracle identical to text_bm25_topk."""
+    from streaming_data_pipeline_capstone_spark.streaming.text_index_stream import (
+        bm25_topk_from_stream_index,
+    )
+
+    return bm25_topk_from_stream_index(
+        spark, _streamed_text_index(spark, sf_dir), _QUERY_TERMS, _TOPK
+    )

@@ -109,6 +109,7 @@ _SAMPLE_FIRST = [
     "sim_topk_ivfpq_multi_filtered",
     "text_bm25_filtered_topk",
     "text_qld_topk",
+    "stream_text_index_ingest",
     # new or semantically changed in r13
     "sim_topk_ivfpq_filtered",
     "sim_topk_ivfpq_rerank_incr",

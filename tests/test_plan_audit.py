@@ -43,6 +43,7 @@ BNLJ_OK = {
     "quality_lm_ppl_buckets",  # same, plus the broadcast <=1-row cuts frame
     "corpus_health_lm_by_source",  # the bucket chain's broadcast frames
     "retrieval_hybrid_rrf",  # brute-force dense arm: broadcast 1-row query vector
+    "text_qld_topk",  # crossJoin against the broadcast |Q|-row (term, cf) frame
 }
 
 # Audited exchange count per query (broadcasts excluded). UPPER bounds:
@@ -159,6 +160,9 @@ SHUFFLE_BUDGET = {
     # queries' terms + ONE extra exchange for the per-query rank window
     # (partitioned by query_id — more queries add partitions, not passes)
     "text_bm25_multi_topk": 2,  # r14 postings layout
+    "text_bm25_filtered_topk": 1,  # r14: predicate inside the pruned postings scan
+    "text_qld_topk": 3,  # r14: candidates distinct + grid join + per-doc sum
+    "stream_text_index_ingest": 2,  # r14: streamed-postings probe (df agg + per-doc sum)
     # RRF: BM25's plan + dense TakeOrdered candidate gen; the fusion
     # windows/outer-join run on <=50-row frames
     "retrieval_hybrid_rrf": 1,  # r14 postings layout sparse arm
@@ -261,6 +265,9 @@ MUST_PUSH_FILTER = {
     "corpus_health_lm_by_source",
     "text_bm25_topk",
     "text_bm25_multi_topk",
+    "text_bm25_filtered_topk",
+    "text_qld_topk",
+    "stream_text_index_ingest",
     "tokenizer_bpe_encode",  # IsNotNull(text) reaches both documents scans
     "tokenizer_bpe_encode_fixed",
     "retrieval_hybrid_rrf_ann",

@@ -424,3 +424,116 @@ def test_qld_micro_corpus_ordering(spark, tmp_path):
     rows = text_qld_topk(spark, d).collect()
     ids = [r.doc_id for r in rows]
     assert ids == [1, 2], ids  # doc 3 matches no query term
+
+
+def test_streamed_postings_index_matches_one_shot_and_compacts(spark, tmp_path):
+    """The streamed postings index must answer BM25 identically to the
+    one-shot layout (same scores via reconstructed global statistics),
+    stay idempotent under a full replay (dynamic-overwrite epochs), keep
+    answering identically after compaction, and make a newly-ingested
+    batch retrievable (freshness)."""
+    import os
+
+    from streaming_data_pipeline_capstone_spark.sources.replay import (
+        replay_to_files,
+        stream_from_replay,
+    )
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        compact_epoch_table,
+        files_per_bucket_table,
+    )
+    from streaming_data_pipeline_capstone_spark.streaming.text_index_stream import (
+        _term_bucket,
+        bm25_topk_from_stream_index,
+        streaming_postings_ingest,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    rows = [
+        (i, f"hash join window {'scan ' * (i % 3)}filler{i}", "en")
+        for i in range(1, 31)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING")
+    docs.coalesce(1).write.parquet(corpus + "/documents.parquet")
+
+    work = str(tmp_path / "stream")
+    replay_dir, index_dir, ckpt = (
+        work + "/replay",
+        work + "/index",
+        work + "/ckpt",
+    )
+    schema = replay_to_files(docs, replay_dir, 3, order_col="doc_id")
+    q = streaming_postings_ingest(
+        stream_from_replay(spark, replay_dir, schema), index_dir, ckpt
+    )
+    q.awaitTermination()
+
+    streamed = [
+        tuple(r)
+        for r in bm25_topk_from_stream_index(
+            spark, index_dir, _QUERY_TERMS, 20
+        ).collect()
+    ]
+    one_shot = [
+        tuple(r)
+        for r in _bm25_scores(spark, corpus, _QUERY_TERMS)
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    ]
+    assert streamed == one_shot and streamed
+
+    # full replay with a fresh checkpoint: dynamic overwrite must leave
+    # the index byte-equivalent (same answer), not doubled
+    q = streaming_postings_ingest(
+        stream_from_replay(spark, replay_dir, schema),
+        index_dir,
+        work + "/ckpt2",
+    )
+    q.awaitTermination()
+    assert [
+        tuple(r)
+        for r in bm25_topk_from_stream_index(
+            spark, index_dir, _QUERY_TERMS, 20
+        ).collect()
+    ] == streamed
+
+    # compaction: collapse epochs, identical answer
+    assert files_per_bucket_table(index_dir + "/postings") >= 3
+    compact_epoch_table(
+        spark, index_dir + "/postings", _term_bucket(1), partitions_per_table=2
+    )
+    assert files_per_bucket_table(index_dir + "/postings") == 1
+    assert [
+        tuple(r)
+        for r in bm25_topk_from_stream_index(
+            spark, index_dir, _QUERY_TERMS, 20
+        ).collect()
+    ] == streamed
+
+    # freshness: land one more chunk in the SAME replay dir and resume
+    # the SAME checkpoint — an index is bound to one checkpoint lineage
+    # (epoch ids are per-checkpoint; a fresh checkpoint would restart at
+    # epoch 0 and dynamic-overwrite earlier epochs). The new doc must be
+    # retrievable and statistics must reflect the grown corpus.
+    import shutil as _shutil
+
+    # doc 99 stacks the RARE term (scan, df ~ N/3) — the common terms
+    # carry near-zero idf on this fixture, so tf on them can't rank
+    extra = spark.createDataFrame(
+        [(99, "scan scan scan hash join window", "en")],
+        "doc_id BIGINT, text STRING, lang STRING",
+    )
+    replay2 = work + "/replay2"
+    replay_to_files(extra, replay2, 1, order_col="doc_id")
+    _shutil.move(replay2 + "/chunk=00000", replay_dir + "/chunk=00003")
+    q = streaming_postings_ingest(
+        stream_from_replay(spark, replay_dir, schema), index_dir, work + "/ckpt2"
+    )
+    q.awaitTermination()
+    after = bm25_topk_from_stream_index(
+        spark, index_dir, _QUERY_TERMS, 20
+    ).collect()
+    assert any(r.doc_id == 99 for r in after)
+    assert after[0].doc_id == 99  # 3x the rare term + all others: top hit
