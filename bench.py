@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "text_bm25_filtered_topk",       # r14: metadata-filtered BM25 (predicate in the pruned postings scan)
     "text_qld_topk",                 # r14: Dirichlet query-likelihood over the postings layout
     "stream_text_index_ingest",      # r14: BM25 from the STREAMED postings index
+    "retrieval_hybrid_rrf_multi_filtered",  # r14: per-query predicates through BOTH hybrid arms
     "retrieval_hybrid_rrf_multi",    # batched hybrid fusion (1 dense + 1 sparse pass)
     "sim_topk_ivfpq_rerank_incr",    # probe over the epoch-appended incremental index
 ]

@@ -2653,3 +2653,211 @@ def stream_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pruned_rerank_topk_at(
         spark, sf_dir, _streamed_index(spark, sf_dir), 10
     )
+
+
+# -- filtered batched hybrid retrieval (r14) ------------------------------------
+# The full composition of the serving axes: a query BATCH where each
+# query carries a predicate on EACH arm's metadata — the dense arm
+# filtered by the vector-store label (per-tenant embeddings), the sparse
+# arm by the document language (lang-scoped corpora). Both predicates
+# evaluate inside their arm's pruned scan (labels ride in the ANN layout
+# rows, lang in the postings rows), the per-query match rides the same
+# broadcast frames the batch axes already ship, and fusion still sees
+# only ranks. Zero new passes vs the unfiltered batched hybrid.
+
+_FILTER_LANGS_MULTI = {0: "de", 1: "en", 2: "es"}
+
+
+def _rrf_multi_filtered_oracle() -> str:
+    from streaming_data_pipeline_capstone_spark.queries.retrieval import (
+        _B,
+        _CAND,
+        _K1,
+        _MICRO,
+        _MULTI_QUERIES,
+        _RRF_K,
+        _TOPK,
+        _bm25_ctes,
+        _multi_terms,
+    )
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)",
+        _values_cents_cte("cb", KMEANS_CENTROIDS),
+        _lloyd_assign_cte("af", "e", "cb", _EMB_DIM),
+    ]
+    for s in range(_PQ_SUBS):
+        lo = s * _PQ_SUB_DIM + 1
+        ctes.append(
+            f"e{s} AS (SELECT vec_id, list_slice(v, {lo}, {lo + _PQ_SUB_DIM - 1}) AS v FROM e)"
+        )
+        ctes.append(_values_cents_cte(f"b{s}", PQ_BOOKS[s]))
+        ctes.append(_lloyd_assign_cte(f"s{s}_af", f"e{s}", f"b{s}", _PQ_SUB_DIM))
+    for qid in _MULTI_QIDS:
+        lbl = _FILTER_LABELS_MULTI[qid]
+        ctes.append(f"q_{qid} AS (SELECT v AS qv FROM e WHERE vec_id = {qid})")
+        ctes.append(
+            f"""probe_{qid} AS (SELECT cell FROM cb, q_{qid} q
+                ORDER BY list_cosine_similarity(cv, q.qv) DESC, cell ASC
+                LIMIT {_NPROBE})"""
+        )
+        ctes.append(f"flt_{qid} AS (SELECT vec_id FROM e WHERE label = {lbl})")
+        for s in range(_PQ_SUBS):
+            lo = s * _PQ_SUB_DIM + 1
+            ctes.append(
+                f"qs{qid}_{s} AS (SELECT list_slice(qv, {lo}, {lo + _PQ_SUB_DIM - 1})"
+                f" AS qv FROM q_{qid})"
+            )
+            ctes.append(
+                f"""dt{qid}_{s} AS (SELECT c.cell,
+                    list_sum(list_transform(range(1, {_PQ_SUB_DIM}+1),
+                        i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d
+                    FROM b{s} c, qs{qid}_{s} q)"""
+            )
+        joins = (
+            " ".join(f"JOIN s{s}_af a{s} USING (vec_id)" for s in range(1, _PQ_SUBS))
+            + " "
+            + " ".join(
+                f"JOIN dt{qid}_{s} ON a{s}.cell = dt{qid}_{s}.cell"
+                for s in range(_PQ_SUBS)
+            )
+            + f" JOIN af USING (vec_id) JOIN probe_{qid} ON af.cell = probe_{qid}.cell"
+            + f" JOIN flt_{qid} USING (vec_id)"
+        )
+        total = " + ".join(f"dt{qid}_{s}.d" for s in range(_PQ_SUBS))
+        ctes.append(
+            f"""short_{qid} AS MATERIALIZED (
+                SELECT a0.vec_id, round({total}, 6) AS adc_dist
+                FROM s0_af a0 {joins}
+                ORDER BY adc_dist ASC, vec_id ASC LIMIT {_RERANK})"""
+        )
+        ctes.append(
+            f"""dense_{qid} AS (SELECT id, r_dense FROM (
+                SELECT e.vec_id AS id,
+                       row_number() OVER (
+                         ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                                  e.vec_id ASC) AS r_dense
+                FROM e JOIN short_{qid} USING (vec_id), q_{qid} q)
+                WHERE r_dense <= {_CAND})"""
+        )
+    ctes.append(_bm25_ctes(_multi_terms()))
+    qrows = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in sorted(_MULTI_QUERIES.items()) for t in ts
+    )
+    lrows = ", ".join(
+        f"({qid}, '{lang}')" for qid, lang in sorted(_FILTER_LANGS_MULTI.items())
+    )
+    ctes.append(f"qt(query_id, term) AS (VALUES {qrows})")
+    ctes.append(f"qlv(query_id, qlang) AS (VALUES {lrows})")
+    ctes.append("dlang AS (SELECT doc_id, lang FROM documents)")
+    ctes.append(
+        f"""qbm AS (
+        SELECT qt.query_id, tf.doc_id, CAST(SUM(
+          CAST(round(idf.idf * (tf.tf * {_K1 + 1.0})
+               / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * CAST(lens.dl AS DOUBLE) / idf.avgdl))
+               * {_MICRO}.0, 0) AS BIGINT)) AS BIGINT) AS score_micro
+        FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN lens USING (doc_id)
+             JOIN dlang USING (doc_id)
+             JOIN qlv ON qlv.query_id = qt.query_id AND dlang.lang = qlv.qlang
+        GROUP BY qt.query_id, tf.doc_id)"""
+    )
+    fused = []
+    for qid in _MULTI_QIDS:
+        ctes.append(
+            f"""sparse_{qid} AS (SELECT id, r_sparse FROM (
+                SELECT doc_id AS id,
+                       row_number() OVER (
+                         ORDER BY score_micro DESC, doc_id ASC) AS r_sparse
+                FROM qbm WHERE query_id = {qid})
+                WHERE r_sparse <= {_CAND})"""
+        )
+        ctes.append(
+            f"""fused_{qid} AS (
+                SELECT {qid} AS query_id, id,
+                       CAST(r_dense AS BIGINT) AS r_dense,
+                       CAST(r_sparse AS BIGINT) AS r_sparse,
+                       CAST(coalesce(CAST(round({_MICRO}.0 / ({_RRF_K} + r_dense)) AS BIGINT), 0)
+                          + coalesce(CAST(round({_MICRO}.0 / ({_RRF_K} + r_sparse)) AS BIGINT), 0)
+                         AS BIGINT) AS rrf_micro
+                FROM dense_{qid} FULL OUTER JOIN sparse_{qid} USING (id))"""
+        )
+        fused.append(
+            f"""SELECT query_id, id, r_dense, r_sparse, rrf_micro, rank FROM (
+                SELECT *, CAST(row_number() OVER (
+                    ORDER BY rrf_micro DESC, id ASC) AS BIGINT) AS rank
+                FROM fused_{qid}) WHERE rank <= {_TOPK}"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(fused)
+
+
+@register("retrieval_hybrid_rrf_multi_filtered", _rrf_multi_filtered_oracle())
+def retrieval_hybrid_rrf_multi_filtered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filtered batched hybrid retrieval: per-query top-20 by RRF where
+    each query's dense arm is label-filtered ({0: 3, 1: 7, 2: 5}) and its
+    sparse arm lang-filtered ({0: de, 1: en, 2: es}) — both predicates
+    inside their arm's pruned scan, one dense pass + one sparse pass."""
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_capstone_spark.queries.retrieval import (
+        _CAND,
+        _MICRO,
+        _MULTI_QUERIES,
+        _RRF_K,
+        _TOPK,
+        _bm25_base,
+        _c_micro,
+        _multi_terms,
+    )
+
+    dense = multi_topk_ivfpq(
+        spark, sf_dir, _MULTI_QIDS, k=_CAND, labels=_FILTER_LABELS_MULTI
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("id"),
+        F.col("rank").alias("r_dense"),
+    )
+    qt = spark.createDataFrame(
+        [
+            (qid, t, _FILTER_LANGS_MULTI[qid])
+            for qid, ts in sorted(_MULTI_QUERIES.items())
+            for t in ts
+        ],
+        "query_id int, term string, qlang string",
+    )
+    scores = (
+        _bm25_base(spark, sf_dir, _multi_terms())
+        .join(F.broadcast(qt), "term")
+        .filter(F.col("lang") == F.col("qlang"))
+        .select("query_id", "doc_id", _c_micro())
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c_micro").alias("score_micro"))
+    )
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    sparse = (
+        scores.withColumn("r_sparse", F.row_number().over(w_s).cast("bigint"))
+        .filter(F.col("r_sparse") <= _CAND)
+        .select("query_id", F.col("doc_id").alias("id"), "r_sparse")
+    )
+    rr = lambda r: F.round(F.lit(float(_MICRO)) / (_RRF_K + r)).cast("bigint")  # noqa: E731
+    fused = dense.join(sparse, ["query_id", "id"], "full_outer").select(
+        "query_id",
+        "id",
+        "r_dense",
+        "r_sparse",
+        (
+            F.coalesce(rr(F.col("r_dense")), F.lit(0))
+            + F.coalesce(rr(F.col("r_sparse")), F.lit(0))
+        ).alias("rrf_micro"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f).cast("bigint"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "id", "r_dense", "r_sparse", "rrf_micro", "rank")
+    )

@@ -110,6 +110,7 @@ _SAMPLE_FIRST = [
     "text_bm25_filtered_topk",
     "text_qld_topk",
     "stream_text_index_ingest",
+    "retrieval_hybrid_rrf_multi_filtered",
     # new or semantically changed in r13
     "sim_topk_ivfpq_filtered",
     "sim_topk_ivfpq_rerank_incr",

@@ -688,3 +688,37 @@ def test_ann_epoch_compaction_rule_and_identity(spark, sf_oracle, tmp_path):
     assert epoch_files_per_cell(work) == 1
     after = [tuple(r) for r in _pruned_rerank_topk_at(spark, sf_oracle, work, 10).collect()]
     assert after == before
+
+
+def test_filtered_hybrid_arms_respect_their_predicates(spark, sf_oracle):
+    """The filtered batched hybrid's dense arm must be exactly the
+    filtered batched probe's ranking (qid-for-qid), and every
+    sparse-ranked id must satisfy its query's lang predicate."""
+    from streaming_data_pipeline_capstone_spark.queries.extras import (
+        _FILTER_LANGS_MULTI,
+        retrieval_hybrid_rrf_multi_filtered,
+        sim_topk_ivfpq_multi_filtered,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    fused = retrieval_hybrid_rrf_multi_filtered(spark, sf_oracle).collect()
+    assert len(fused) == 60
+    probe = {
+        (r.query_id, r.rank): r.vec_id
+        for r in sim_topk_ivfpq_multi_filtered(spark, sf_oracle).collect()
+    }
+    for r in fused:
+        if r.r_dense is not None and (r.query_id, r.r_dense) in probe:
+            assert probe[(r.query_id, r.r_dense)] == r.id, r
+    langs = {
+        row.doc_id: row.lang
+        for row in read_table(spark, sf_oracle, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    sparse_seen = 0
+    for r in fused:
+        if r.r_sparse is not None:
+            sparse_seen += 1
+            assert langs[r.id] == _FILTER_LANGS_MULTI[r.query_id], r
+    assert sparse_seen >= 10, "vacuous: sparse arm contributed almost nothing"

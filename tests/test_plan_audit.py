@@ -173,6 +173,7 @@ SHUFFLE_BUDGET = {
     # frames (2) + the per-query fusion rank window (1) — every
     # exchange after the two corpus passes carries ranks, not data
     "retrieval_hybrid_rrf_multi": 8,  # r14 postings layout sparse arm
+    "retrieval_hybrid_rrf_multi_filtered": 8,  # r14: filters ride existing scans/broadcasts
     # batched serving: query_id-fanned candidate exchange + per-query
     # shortlist and top-k rank windows (query_id-partitioned)
     "sim_topk_ivfpq_multi": 3,
@@ -268,6 +269,7 @@ MUST_PUSH_FILTER = {
     "text_bm25_filtered_topk",
     "text_qld_topk",
     "stream_text_index_ingest",
+    "retrieval_hybrid_rrf_multi_filtered",
     "tokenizer_bpe_encode",  # IsNotNull(text) reaches both documents scans
     "tokenizer_bpe_encode_fixed",
     "retrieval_hybrid_rrf_ann",
@@ -323,6 +325,7 @@ MAX_PQ_SCAN_COLS = 32 + 2  # c0..c31 + vec_id + cell
 FILTERED_PQ_SCAN_QUERIES = {
     "sim_topk_ivfpq_filtered",
     "sim_topk_ivfpq_multi_filtered",  # r14: codes scan + label, batched
+    "retrieval_hybrid_rrf_multi_filtered",  # r14: same filtered batched dense arm
 }
 MAX_FILTERED_PQ_SCAN_COLS = MAX_PQ_SCAN_COLS + 1
 
