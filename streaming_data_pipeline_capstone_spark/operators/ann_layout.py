@@ -150,17 +150,21 @@ def coarse_cells(n_vectors: int, n_train: int | None = None) -> int:
     sample rather than the corpus) caps k at the power of two keeping
     ≥ ~39 training points per centroid — FAISS's min-points warning
     threshold; a k the sample can't populate trains noise centroids and
-    the recall certificate would certify nothing."""
+    the recall certificate would certify nothing. The cap applies AFTER
+    the [8, 2^16] clamp (ADVICE r14): a sample too thin to populate even
+    the minimum fan-out (n_train < ~312) returns k < 8 honestly — the
+    FAISS floor wins over the fan-out floor, never silently violated."""
     import math
 
     if n_vectors <= 0:
         return _MIN_COARSE_CELLS
     raw = 4.0 * math.sqrt(n_vectors)
     k = 1 << max(0, round(math.log2(raw)))
+    k = min(_MAX_COARSE_CELLS, max(_MIN_COARSE_CELLS, k))
     if n_train is not None and n_train > 0:
         cap = 1 << max(0, int(math.log2(max(1, n_train / _MIN_TRAIN_PER_CELL))))
         k = min(k, cap)
-    return min(_MAX_COARSE_CELLS, max(_MIN_COARSE_CELLS, k))
+    return k
 
 
 def coarse_retrain_due(
@@ -399,21 +403,59 @@ def append_cell_epoch(
 MAX_EPOCH_FILES = 16
 
 
-def epoch_files_per_cell(path: str) -> int:
-    """Max parquet-file count under any one cell's epoch partitions —
-    the quantity the compaction rule thresholds. One listing of the
-    layout tree, bounded by cells x epochs (directory metadata, not
-    data)."""
+def max_files_per_partition(path: str, prefix: str) -> int:
+    """Max parquet-file count under any one ``<prefix>=<v>`` partition
+    directory of ``path`` — the quantity the compaction rules threshold.
+    One listing of the layout tree, bounded by partitions x epochs
+    (directory metadata, not data).
+
+    Listed through the Hadoop FileSystem API when a SparkSession is
+    active (ADVICE r14: the read path deliberately globs through Hadoop
+    so remote schemes work — a trigger that walked the LOCAL filesystem
+    would silently read 0 files on a remote index and never fire);
+    without an active session it falls back to ``os.walk`` (local-only
+    callers, e.g. unit fixtures before Spark starts)."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        worst = 0
+        if not os.path.isdir(path):
+            return 0
+        for pdir in os.listdir(path):
+            full = os.path.join(path, pdir)
+            if not (pdir.startswith(prefix + "=") and os.path.isdir(full)):
+                continue
+            n = 0
+            for _root, _dirs, files in os.walk(full):
+                n += sum(f.endswith(".parquet") for f in files)
+            worst = max(worst, n)
+        return worst
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return 0
+    statuses = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/{prefix}=*")
+    )
     worst = 0
-    for cell_dir in os.listdir(path) if os.path.isdir(path) else []:
-        cdir = os.path.join(path, cell_dir)
-        if not (cell_dir.startswith("cell=") and os.path.isdir(cdir)):
+    for st in statuses or []:
+        if not st.isDirectory():
             continue
         n = 0
-        for root, _dirs, files in os.walk(cdir):
-            n += sum(f.endswith(".parquet") for f in files)
+        it = fs.listFiles(st.getPath(), True)  # recursive
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
         worst = max(worst, n)
     return worst
+
+
+def epoch_files_per_cell(path: str) -> int:
+    """Max parquet-file count under any one cell's epoch partitions —
+    the quantity the ANN compaction rule thresholds (see
+    :func:`max_files_per_partition` for the listing contract)."""
+    return max_files_per_partition(path, "cell")
 
 
 def ann_compaction_due(path: str, max_epoch_files: int = MAX_EPOCH_FILES) -> bool:
@@ -428,7 +470,22 @@ def compact_cell_epochs(
     Probes are unchanged (they prune on the leading cell level and read
     whatever epochs exist); a probe answers identically before and after
     (pinned in tests). ONLY run with ingest stopped and its checkpoint
-    committed, same contract as dedup_stream.compact_index."""
+    committed, same contract as dedup_stream.compact_index.
+
+    Any top-level ``_*.json`` marker files living inside the layout dir
+    (e.g. ``_INCR_META.json`` for the incremental layout, or the
+    ``_LAYOUT_META.json`` convention) are preserved across the rewrite
+    (ADVICE r14): the static overwrite deletes everything under ``path``,
+    and a lost marker would make the next ``_incr_layout`` open see an
+    unmarked layout and discard the just-compacted index with a full
+    rebuild — compaction undone, the work wasted."""
+    markers: dict[str, bytes] = {}
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            full = os.path.join(path, name)
+            if name.startswith("_") and name.endswith(".json") and os.path.isfile(full):
+                with open(full, "rb") as fh:
+                    markers[name] = fh.read()
     df = spark.read.parquet(path).drop("epoch")
     tmp = path + "__compacting"
     (
@@ -444,6 +501,9 @@ def compact_cell_epochs(
         .partitionBy("cell", "epoch")
         .parquet(path)
     )
+    for name, blob in markers.items():
+        with open(os.path.join(path, name), "wb") as fh:
+            fh.write(blob)
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)

@@ -2030,7 +2030,11 @@ def multi_topk_ivfpq(
     union_labels = sorted({v for v in labels.values() if v is not None}) if labels else []
     codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
     scan = spark.read.parquet(layout).filter(F.col("cell").isin(union_cells))
-    if filtering and len(union_labels) == len(labels) == len(qids):
+    # gate on every query actually carrying a label (ADVICE r14: two
+    # queries sharing a label shrink the de-duplicated union set, and a
+    # set/dict LENGTH comparison would silently disable the row-group
+    # prefilter even though the disjunction is still exact)
+    if filtering and all(labels.get(q) is not None for q in qids):
         # every query is filtered: the union-of-labels disjunction can
         # prefilter the SCAN itself (row-group stats + dictionary pages
         # under the partition prune) before the broadcast fan-out

@@ -490,19 +490,15 @@ MAX_BUCKET_FILES = 16
 
 def files_per_bucket_table(table_path: str) -> int:
     """Max parquet-file count under any one bkt= of ONE epoch-partitioned
-    state table (directory metadata, one tree listing, no data read)."""
-    worst = 0
-    if not os.path.isdir(table_path):
-        return 0
-    for bdir in os.listdir(table_path):
-        full = os.path.join(table_path, bdir)
-        if not (bdir.startswith("bkt=") and os.path.isdir(full)):
-            continue
-        n = 0
-        for _root, _dirs, files in os.walk(full):
-            n += sum(f.endswith(".parquet") for f in files)
-        worst = max(worst, n)
-    return worst
+    state table (directory metadata, one tree listing, no data read).
+    Listed through the Hadoop FileSystem API when a session is active —
+    the same contract as the pruned read path — so the compaction
+    trigger fires on remote indexes too (ADVICE r14)."""
+    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+        max_files_per_partition,
+    )
+
+    return max_files_per_partition(table_path, "bkt")
 
 
 def files_per_bucket(index_dir: str) -> int:

@@ -603,6 +603,11 @@ def test_coarse_cells_rule_and_retrain_trigger():
     assert coarse_cells(20_000) == 512
     assert coarse_cells(20_000, n_train=4_000) == 64
     assert coarse_cells(20_000, n_train=10**9) == 512  # cap only binds downward
+    # the FAISS ~39-points floor wins over the minimum fan-out (ADVICE
+    # r14): a sample too thin to populate even 8 cells returns k < 8
+    # honestly instead of 8 noise centroids
+    assert coarse_cells(20_000, n_train=100) == 2
+    assert coarse_cells(20_000, n_train=39 * 8) == 8
 
 
 def test_multi_filtered_slice_pins_to_single_filtered(spark, sf_oracle):
@@ -651,6 +656,39 @@ def test_multi_filtered_slice_pins_to_single_filtered(spark, sf_oracle):
     ), code_scans
 
 
+def test_multi_filtered_shared_labels_keep_scan_prefilter(spark, sf_oracle):
+    """Two queries sharing one label must NOT disable the scan-level
+    union-of-labels prefilter (ADVICE r14: the old gate compared the
+    de-duplicated union's size against the query count, so shared labels
+    silently fell back to an unfiltered codes scan)."""
+    from streaming_data_pipeline_capstone_spark.queries.extras import (
+        _FILTER_LABEL,
+        multi_topk_ivfpq,
+    )
+
+    df = multi_topk_ivfpq(
+        spark, sf_oracle, [0, 1], labels={0: _FILTER_LABEL, 1: _FILTER_LABEL}
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    code_scans = [
+        l
+        for l in plan.splitlines()
+        if "FileScan" in l
+        and "PushedFilters" in l
+        and "embedding" not in l.split("ReadSchema", 1)[-1]
+    ]
+    assert any(
+        "label" in l.split("PushedFilters", 1)[1][:400]
+        and (
+            "In(" in l.split("PushedFilters", 1)[1][:400]
+            or "EqualTo" in l.split("PushedFilters", 1)[1][:400]
+        )
+        for l in code_scans
+    ), code_scans
+    rows = df.collect()
+    assert rows and all(r.label == _FILTER_LABEL for r in rows)
+
+
 def test_ann_epoch_compaction_rule_and_identity(spark, sf_oracle, tmp_path):
     """The compaction RULE (files-per-cell threshold) must fire under
     epoch growth, and compaction must be invisible to probes: identical
@@ -671,7 +709,8 @@ def test_ann_epoch_compaction_rule_and_identity(spark, sf_oracle, tmp_path):
     src = _incr_layout(spark, sf_oracle)
     work = str(tmp_path / "epochs")
     shutil.copytree(src, work)
-    os.remove(os.path.join(work, "_INCR_META.json"))
+    with open(os.path.join(work, "_INCR_META.json")) as fh:
+        marker_before = fh.read()
 
     before = [tuple(r) for r in _pruned_rerank_topk_at(spark, sf_oracle, work, 10).collect()]
     assert before
@@ -688,6 +727,11 @@ def test_ann_epoch_compaction_rule_and_identity(spark, sf_oracle, tmp_path):
     assert epoch_files_per_cell(work) == 1
     after = [tuple(r) for r in _pruned_rerank_topk_at(spark, sf_oracle, work, 10).collect()]
     assert after == before
+    # marker files inside the layout survive the rewrite (ADVICE r14: a
+    # lost _INCR_META.json makes the next open discard the compacted
+    # index with a full rebuild)
+    with open(os.path.join(work, "_INCR_META.json")) as fh:
+        assert fh.read() == marker_before
 
 
 def test_filtered_hybrid_arms_respect_their_predicates(spark, sf_oracle):
