@@ -125,6 +125,27 @@ def check_or_write_index_layout(
         json.dump(want, fh)
 
 
+def read_index_layout(index_dir: str) -> dict:
+    """The pinned layout marker of a state index — the single source of
+    truth for bucket fan-outs at PROBE time (ADVICE r14: a probe that
+    accepts a caller-supplied fan-out can silently hash with a different
+    prefix than the writer used — buckets missed, docs dropped, df/scores
+    wrong; reading the marker makes that failure impossible, and a
+    missing marker fails fast instead of guessing)."""
+    import json
+
+    marker = os.path.join(index_dir, _LAYOUT_MARKER)
+    if not os.path.exists(marker):
+        raise FileNotFoundError(
+            f"no {_LAYOUT_MARKER} under {index_dir}: this index was not "
+            "written by a layout-pinning writer (or the marker was lost). "
+            "Probing with a guessed fan-out would silently miss buckets — "
+            "refusing."
+        )
+    with open(marker) as fh:
+        return json.load(fh)
+
+
 def _write_index_layout(index_dir: str, bh_prefix_len: int, doc_fanout: int) -> None:
     """Unconditional marker (re)write — compact_index's rebucket path,
     which legitimately redefines the layout for every bucket at once."""

