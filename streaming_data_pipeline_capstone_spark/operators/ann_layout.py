@@ -190,7 +190,9 @@ def coarse_retrain_due(
 _LAYOUT_SCHEMA_VERSION = 2
 
 
-def cell_layout_path(sf_dir: str, spill: int = 1) -> str:
+def cell_layout_path(
+    sf_dir: str, spill: int = 1, model_tag: str | None = None
+) -> str:
     slug = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     base = os.path.basename(os.path.abspath(sf_dir).rstrip("/")) or "root"
     # a leading dot (e.g. the .sf1 scale corpus) would make the layout dir
@@ -199,7 +201,12 @@ def cell_layout_path(sf_dir: str, spill: int = 1) -> str:
     # version-fragile behavior; keep the leaf name visible
     base = base.lstrip(".") or "root"
     sfx = f"-spill{spill}" if spill > 1 else ""
-    return os.path.join(_LAYOUT_ROOT, f"{base}-{slug}{sfx}")
+    # model_tag keys a RETRAINED model's layout to a distinct path, so
+    # the retrain recipe builds BESIDE the live layout and the repoint is
+    # an atomic pointer flip, never an in-place overwrite of a directory
+    # concurrent probes may be reading (VERDICT r14 ask #1)
+    tag = f"-{model_tag}" if model_tag else ""
+    return os.path.join(_LAYOUT_ROOT, f"{base}-{slug}{tag}{sfx}")
 
 
 def _model_hash(
@@ -237,11 +244,14 @@ def ensure_cell_layout(
     pq_books: list[list[list[float]]],
     pq_sub_dim: int,
     spill: int = 1,
+    model_tag: str | None = None,
 ) -> str:
     """Write (once) and return the cell-partitioned serving layout for the
     embeddings at ``sf_dir``: columns vec_id, embedding, c0..c{S-1},
     hive-partitioned by the coarse cell. Idempotent: a marker records the
     source mtime; the layout is rebuilt only if missing or stale.
+    ``model_tag`` routes a retrained model's layout to its own path (see
+    cell_layout_path) so a retrain builds beside the live layout.
 
     ``spill > 1`` writes the SPILLED layout (ScaNN-style
     multi-assignment): each vector is stored in its ``spill`` nearest
@@ -258,7 +268,7 @@ def ensure_cell_layout(
     )
     from streaming_data_pipeline_capstone_spark.sources.readers import read_table
 
-    out = cell_layout_path(sf_dir, spill)
+    out = cell_layout_path(sf_dir, spill, model_tag)
     marker = os.path.join(out, "_LAYOUT_META.json")
     src_mtime = _source_mtime(sf_dir)
     model_hash = _model_hash(centroids, pq_books, pq_sub_dim)

@@ -1329,13 +1329,32 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_ann_deployment.py).
 
 
+def _serving_model(sf_dir: str):
+    """The corpus's CURRENT serving model — the shipped codebooks for
+    the gate corpora (their oracles inline those literals), or the
+    repointed rule-k model after tools/ann_retrain_exec.py has executed
+    the retrain recipe for a grown corpus (VERDICT r14 ask #1)."""
+    from streaming_data_pipeline_capstone_spark.queries.serving_models import (
+        serving_model,
+    )
+
+    return serving_model(sf_dir)
+
+
 def _serving_layout(spark: SparkSession, sf_dir: str) -> str:
     from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
         ensure_cell_layout,
     )
 
+    m = _serving_model(sf_dir)
     return ensure_cell_layout(
-        spark, sf_dir, KMEANS_CENTROIDS, PQ_BOOKS, _PQ_SUB_DIM
+        spark,
+        sf_dir,
+        m.centroids,
+        m.pq_books,
+        m.pq_sub_dim,
+        spill=m.spill,
+        model_tag=m.tag,
     )
 
 
@@ -1344,8 +1363,13 @@ def _serving_layout_spill(spark: SparkSession, sf_dir: str) -> str:
         ensure_cell_layout,
     )
 
+    m = _serving_model(sf_dir)
+    if m.tag is not None:
+        # a repointed model's main layout already carries its certified
+        # spill — the spill gate query probes the same layout
+        return _serving_layout(spark, sf_dir)
     return ensure_cell_layout(
-        spark, sf_dir, KMEANS_CENTROIDS, PQ_BOOKS, _PQ_SUB_DIM, spill=_SPILL
+        spark, sf_dir, m.centroids, m.pq_books, m.pq_sub_dim, spill=_SPILL
     )
 
 
@@ -1364,9 +1388,10 @@ def sim_topk_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_cells_py,
     )
 
+    m = _serving_model(sf_dir)
     layout = _serving_layout(spark, sf_dir)
     query = _query_vec(spark, sf_dir)
-    probes = probe_cells_py(query, KMEANS_CENTROIDS, _NPROBE)
+    probes = probe_cells_py(query, m.centroids, m.nprobe)
     qcol = F.array(*[F.lit(x) for x in query])
     survivors = spark.read.parquet(layout).filter(F.col("cell").isin(probes))
     scored = survivors.select(
@@ -1375,7 +1400,17 @@ def sim_topk_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.transform("embedding", lambda x: x.cast("double")), qcol), 6
         ).alias("cosine_sim"),
     )
-    return scored.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)
+    top = scored.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    if m.spill > 1:
+        # spilled layout: copies of a vector in two probed cells carry
+        # identical (cosine_sim, vec_id) — take spill x the rows ordered,
+        # dedup the tiny frame, keep the top distinct ids
+        top = (
+            top.limit(10 * m.spill)
+            .dropDuplicates(["vec_id"])
+            .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        )
+    return top.limit(10)
 
 
 @register("sim_topk_ivfpq_pruned", _ivfpq_fixed_oracle())
@@ -1393,18 +1428,26 @@ def sim_topk_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_adc_score,
     )
 
+    m = _serving_model(sf_dir)
     layout = _serving_layout(spark, sf_dir)
     query = _query_vec(spark, sf_dir)
-    probes = probe_cells_py(query, KMEANS_CENTROIDS, _NPROBE)
-    codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
+    probes = probe_cells_py(query, m.centroids, m.nprobe)
+    codes = [F.col(f"c{s}") for s in range(len(m.pq_books))]
     survivors = spark.read.parquet(layout).filter(F.col("cell").isin(probes))
     scored = survivors.select(
         "vec_id",
-        F.round(pq_adc_score(codes, query, PQ_BOOKS, _PQ_SUB_DIM), 6).alias(
+        F.round(pq_adc_score(codes, query, m.pq_books, m.pq_sub_dim), 6).alias(
             "adc_dist"
         ),
     )
-    return scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
+    top = scored.orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    if m.spill > 1:
+        top = (
+            top.limit(10 * m.spill)
+            .dropDuplicates(["vec_id"])
+            .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        )
+    return top.limit(10)
 
 
 # -- exact re-rank stage (VERDICT r8 ask #2) ----------------------------------
@@ -1575,26 +1618,35 @@ def _pruned_rerank_topk_at(
         pq_adc_score,
     )
 
+    m = _serving_model(sf_dir)
     query = _query_vec(spark, sf_dir)
-    probes = probe_cells_py(query, KMEANS_CENTROIDS, _NPROBE)
-    codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
+    probes = probe_cells_py(query, m.centroids, m.nprobe)
+    codes = [F.col(f"c{s}") for s in range(len(m.pq_books))]
     surv_codes = spark.read.parquet(layout).filter(F.col("cell").isin(probes))
     short = (
         surv_codes.select(
             "vec_id",
-            F.round(pq_adc_score(codes, query, PQ_BOOKS, _PQ_SUB_DIM), 6).alias(
+            F.round(pq_adc_score(codes, query, m.pq_books, m.pq_sub_dim), 6).alias(
                 "adc_dist"
             ),
         )
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-        .limit(_RERANK)
+        .limit(_RERANK * m.spill)
     )
+    if m.spill > 1:
+        # spilled layout (repointed model): copies in two probed cells
+        # are adjacent in the ordered shortlist — dedup the tiny frame
+        short = short.dropDuplicates(["vec_id"]).orderBy(
+            F.asc("adc_dist"), F.asc("vec_id")
+        ).limit(_RERANK)
     qcol = F.array(*[F.lit(x) for x in query])
     raw = (
         spark.read.parquet(layout)
         .filter(F.col("cell").isin(probes))
         .select("vec_id", "embedding")
     )
+    if m.spill > 1:
+        raw = raw.dropDuplicates(["vec_id"])
     rer = raw.join(F.broadcast(short.select("vec_id")), "vec_id")
     return (
         rer.select(
@@ -1695,22 +1747,28 @@ def sim_topk_ivfpq_rerank_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_adc_score,
     )
 
+    m = _serving_model(sf_dir)
     layout = _serving_layout_spill(spark, sf_dir)
     query = _query_vec(spark, sf_dir)
-    probes = probe_cells_py(query, KMEANS_CENTROIDS, _SPILL_NPROBE)
-    codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
+    # shipped model: the dedicated _SPILL_NPROBE keeps the certified
+    # nprobe/k = 0.25 ratio against the fixture k=8; a repointed model's
+    # own nprobe already encodes that ratio at its rule k
+    spill = m.spill if m.tag is not None else _SPILL
+    nprobe = m.nprobe if m.tag is not None else _SPILL_NPROBE
+    probes = probe_cells_py(query, m.centroids, nprobe)
+    codes = [F.col(f"c{s}") for s in range(len(m.pq_books))]
     surv_codes = spark.read.parquet(layout).filter(F.col("cell").isin(probes))
     scored = surv_codes.select(
         "vec_id",
-        F.round(pq_adc_score(codes, query, PQ_BOOKS, _PQ_SUB_DIM), 6).alias(
+        F.round(pq_adc_score(codes, query, m.pq_books, m.pq_sub_dim), 6).alias(
             "adc_dist"
         ),
     )
     # top _RERANK DISTINCT ids by (adc, vec_id): duplicates are adjacent
-    # (identical sort key), so _RERANK * _SPILL ordered rows are enough
+    # (identical sort key), so _RERANK * spill ordered rows are enough
     short = (
         scored.orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-        .limit(_RERANK * _SPILL)
+        .limit(_RERANK * spill)
         .dropDuplicates(["vec_id"])
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(_RERANK)
@@ -1997,6 +2055,7 @@ def multi_topk_ivfpq(
         pq_adc_tables,
     )
 
+    m = _serving_model(sf_dir)
     layout = _serving_layout(spark, sf_dir)
     qvecs = _query_vecs_multi(spark, sf_dir, qids)
     # vectorized batch ranking (r14): bit-identical to per-query
@@ -2005,7 +2064,7 @@ def multi_topk_ivfpq(
         zip(
             qids,
             probe_cells_batch(
-                [qvecs[qid] for qid in qids], KMEANS_CENTROIDS, _NPROBE
+                [qvecs[qid] for qid in qids], m.centroids, m.nprobe
             ),
         )
     )
@@ -2018,7 +2077,7 @@ def multi_topk_ivfpq(
         [
             (
                 qid,
-                pq_adc_tables(qvecs[qid], PQ_BOOKS, _PQ_SUB_DIM),
+                pq_adc_tables(qvecs[qid], m.pq_books, m.pq_sub_dim),
                 qvecs[qid],
                 labels.get(qid) if labels else None,
             )
@@ -2028,7 +2087,7 @@ def multi_topk_ivfpq(
     )
     filtering = bool(labels)
     union_labels = sorted({v for v in labels.values() if v is not None}) if labels else []
-    codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
+    codes = [F.col(f"c{s}") for s in range(len(m.pq_books))]
     scan = spark.read.parquet(layout).filter(F.col("cell").isin(union_cells))
     # gate on every query actually carrying a label (ADVICE r14: two
     # queries sharing a label shrink the de-duplicated union set, and a
@@ -2060,11 +2119,20 @@ def multi_topk_ivfpq(
     w_short = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("vec_id")
     )
-    short = (
-        cand.withColumn("_r", F.row_number().over(w_short))
-        .filter(F.col("_r") <= _RERANK)
-        .select("query_id", "vec_id")
+    short = cand.withColumn("_r", F.row_number().over(w_short)).filter(
+        F.col("_r") <= _RERANK * m.spill
     )
+    if m.spill > 1:
+        # spilled layout: copies of a vector whose cells are both probed
+        # carry identical (adc_dist, vec_id) and are adjacent under
+        # w_short — dedup the Q x rerank x spill frame, re-rank, keep the
+        # top _RERANK distinct ids per query
+        short = (
+            short.dropDuplicates(["query_id", "vec_id"])
+            .withColumn("_r2", F.row_number().over(w_short))
+            .filter(F.col("_r2") <= _RERANK)
+        )
+    short = short.select("query_id", "vec_id")
     raw_cols = ["vec_id"] + (["label"] if filtering else [])
     raw = (
         spark.read.parquet(layout)
@@ -2180,10 +2248,11 @@ def sim_topk_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_adc_score,
     )
 
+    m = _serving_model(sf_dir)
     layout = _serving_layout(spark, sf_dir)
     query = _query_vec(spark, sf_dir)
-    probes = probe_cells_py(query, KMEANS_CENTROIDS, _NPROBE)
-    codes = [F.col(f"c{s}") for s in range(_PQ_SUBS)]
+    probes = probe_cells_py(query, m.centroids, m.nprobe)
+    codes = [F.col(f"c{s}") for s in range(len(m.pq_books))]
     surv = (
         spark.read.parquet(layout)
         .filter(F.col("cell").isin(probes))
@@ -2192,13 +2261,19 @@ def sim_topk_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = (
         surv.select(
             "vec_id",
-            F.round(pq_adc_score(codes, query, PQ_BOOKS, _PQ_SUB_DIM), 6).alias(
+            F.round(pq_adc_score(codes, query, m.pq_books, m.pq_sub_dim), 6).alias(
                 "adc_dist"
             ),
         )
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-        .limit(_RERANK)
+        .limit(_RERANK * m.spill)
     )
+    if m.spill > 1:
+        short = (
+            short.dropDuplicates(["vec_id"])
+            .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+            .limit(_RERANK)
+        )
     qcol = F.array(*[F.lit(x) for x in query])
     raw = (
         spark.read.parquet(layout)
@@ -2207,6 +2282,8 @@ def sim_topk_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "embedding")
         .join(F.broadcast(short.select("vec_id")), "vec_id")
     )
+    if m.spill > 1:
+        raw = raw.dropDuplicates(["vec_id"])
     return (
         raw.select(
             "vec_id",
@@ -2535,10 +2612,11 @@ def _incr_layout(spark: SparkSession, sf_dir: str) -> str:
         cell_layout_path,
     )
 
-    path = cell_layout_path(sf_dir) + "-incr"
+    m = _serving_model(sf_dir)
+    path = cell_layout_path(sf_dir, model_tag=m.tag) + "-incr"
     marker = _os.path.join(path, "_INCR_META.json")
     src_mtime = _source_mtime(sf_dir)
-    model_hash = _model_hash(KMEANS_CENTROIDS, PQ_BOOKS, _PQ_SUB_DIM)
+    model_hash = _model_hash(m.centroids, m.pq_books, m.pq_sub_dim)
     if _os.path.exists(marker):
         with open(marker) as fh:
             meta = _json.load(fh)
@@ -2557,10 +2635,10 @@ def _incr_layout(spark: SparkSession, sf_dir: str) -> str:
     base = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
     delta = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
     append_cell_epoch(
-        spark, base, path, KMEANS_CENTROIDS, PQ_BOOKS, _PQ_SUB_DIM, 0
+        spark, base, path, m.centroids, m.pq_books, m.pq_sub_dim, 0
     )
     append_cell_epoch(
-        spark, delta, path, KMEANS_CENTROIDS, PQ_BOOKS, _PQ_SUB_DIM, 1
+        spark, delta, path, m.centroids, m.pq_books, m.pq_sub_dim, 1
     )
     with open(marker, "w") as fh:
         _json.dump({"source_mtime": src_mtime, "model_hash": model_hash}, fh)
@@ -2616,11 +2694,12 @@ def _streamed_index(spark: SparkSession, sf_dir: str) -> str:
     # query (oracle sweeps, plan audits, bench legs) reuse ONE streamed
     # index instead of re-running the full replay + ingest into a fresh
     # mkdtemp each call — and the work dir no longer accumulates per call.
-    work = cell_layout_path(sf_dir) + "-streamed"
+    m = _serving_model(sf_dir)
+    work = cell_layout_path(sf_dir, model_tag=m.tag) + "-streamed"
     index_path = f"{work}/index"
     marker = _os.path.join(work, "_STREAMED_META.json")
     src_mtime = _source_mtime(sf_dir)
-    model_hash = _model_hash(KMEANS_CENTROIDS, PQ_BOOKS, _PQ_SUB_DIM)
+    model_hash = _model_hash(m.centroids, m.pq_books, m.pq_sub_dim)
     if _os.path.exists(marker):
         with open(marker) as fh:
             meta = _json.load(fh)
@@ -2637,9 +2716,9 @@ def _streamed_index(spark: SparkSession, sf_dir: str) -> str:
         stream_from_replay(spark, replay_dir, schema),
         index_path,
         f"{work}/ckpt",
-        KMEANS_CENTROIDS,
-        PQ_BOOKS,
-        _PQ_SUB_DIM,
+        m.centroids,
+        m.pq_books,
+        m.pq_sub_dim,
     )
     q.awaitTermination()
     with open(marker, "w") as fh:

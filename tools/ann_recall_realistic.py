@@ -101,6 +101,14 @@ def main() -> None:
         "that ceiling, leaving the probed FRACTION unchanged.",
     )
     ap.add_argument("--out", default=os.path.join(REPO, "ANN_RECALL_r11.json"))
+    ap.add_argument(
+        "--model-json",
+        default=None,
+        help="certify an ALREADY-TRAINED model (tools/ann_retrain_exec.py): "
+        "JSON with kmeans_centroids + pq_books + pq_sub_dim; skips the "
+        "in-tool training so the certificate covers the exact artifact "
+        "that will serve",
+    )
     args = ap.parse_args()
     nprobes = [int(x) for x in args.nprobes.split(",")]
     reranks = [int(x) for x in args.reranks.split(",")]
@@ -114,32 +122,42 @@ def main() -> None:
     from streaming_data_pipeline_capstone_spark.session import get_spark
     from streaming_data_pipeline_capstone_spark.sources.readers import read_table
 
-    spark = get_spark(app_name="ann-recall-realistic")
-    spark.sparkContext.setLogLevel("ERROR")
-    emb = read_table(spark, args.eval_dir, "embeddings")
-    train_vecs = emb.filter(F.col("vec_id") % args.train_mod == 0).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    n_train = train_vecs.count()
-    print(f"training on {n_train} sampled vectors", file=sys.stderr)
-    kmeans_k_rule = None
-    if args.kmeans_k is None:
-        from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
-            coarse_cells,
-        )
-
-        n_corpus = emb.count()
-        args.kmeans_k = coarse_cells(n_corpus, n_train)
-        kmeans_k_rule = (
-            f"coarse_cells(n={n_corpus}, n_train={n_train}) = {args.kmeans_k}"
-            " (4·√n pow2, capped at n_train/39 per centroid)"
-        )
+    if args.model_json:
+        with open(args.model_json) as fh:
+            meta = json.load(fh)
+        books = meta["pq_books"]
+        cents = np.asarray(meta["kmeans_centroids"])
+        args.kmeans_k = len(cents)
+        n_train = meta.get("n_train", -1)
+        kmeans_k_rule = f"pre-trained model {args.model_json} (k={args.kmeans_k})"
         print(kmeans_k_rule, file=sys.stderr)
-    books = pq_train(train_vecs, PQ_SUBS, DIM // PQ_SUBS, PQ_K, PQ_ITERS)
-    cents = np.asarray(
-        lloyd_kmeans_centroids(train_vecs, args.kmeans_k, KMEANS_ITERS)
-    )
-    spark.stop()
+    else:
+        spark = get_spark(app_name="ann-recall-realistic")
+        spark.sparkContext.setLogLevel("ERROR")
+        emb = read_table(spark, args.eval_dir, "embeddings")
+        train_vecs = emb.filter(F.col("vec_id") % args.train_mod == 0).select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        n_train = train_vecs.count()
+        print(f"training on {n_train} sampled vectors", file=sys.stderr)
+        kmeans_k_rule = None
+        if args.kmeans_k is None:
+            from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+                coarse_cells,
+            )
+
+            n_corpus = emb.count()
+            args.kmeans_k = coarse_cells(n_corpus, n_train)
+            kmeans_k_rule = (
+                f"coarse_cells(n={n_corpus}, n_train={n_train}) = {args.kmeans_k}"
+                " (4·√n pow2, capped at n_train/39 per centroid)"
+            )
+            print(kmeans_k_rule, file=sys.stderr)
+        books = pq_train(train_vecs, PQ_SUBS, DIM // PQ_SUBS, PQ_K, PQ_ITERS)
+        cents = np.asarray(
+            lloyd_kmeans_centroids(train_vecs, args.kmeans_k, KMEANS_ITERS)
+        )
+        spark.stop()
 
     ids, mat = _load(args.eval_dir)
     n = len(ids)
@@ -218,7 +236,11 @@ def main() -> None:
         "top_k": TOP_K,
         "kmeans_k": args.kmeans_k,
         "kmeans_k_rule": kmeans_k_rule or "explicit --kmeans-k",
-        "train_sample": f"vec_id % {args.train_mod} == 0 ({n_train} vectors)",
+        "train_sample": (
+            f"pre-trained model ({n_train} vectors; see model artifact)"
+            if args.model_json
+            else f"vec_id % {args.train_mod} == 0 ({n_train} vectors)"
+        ),
         "pq_config": {
             "pq_subs": PQ_SUBS,
             "pq_k": PQ_K,

@@ -68,11 +68,14 @@ def main() -> None:
     )
 
     if args.current_k is None:
-        from streaming_data_pipeline_capstone_spark.queries.codebooks import (
-            KMEANS_CENTROIDS,
+        # the corpus's RESOLVED serving model (repoint-aware): after
+        # tools/ann_retrain_exec.py has executed the recipe, the decision
+        # reflects the retrained quantizer, not the shipped one
+        from streaming_data_pipeline_capstone_spark.queries.serving_models import (
+            serving_model,
         )
 
-        args.current_k = len(KMEANS_CENTROIDS)
+        args.current_k = serving_model(args.sf_dir).k
 
     import duckdb
 
@@ -96,6 +99,10 @@ def main() -> None:
                 "retrain_due": due,
                 "recipe": (
                     [
+                        "python tools/ann_retrain_exec.py --sf-dir "
+                        + args.sf_dir
+                        + "  # the whole loop, one command: retrain -> rebuild beside -> re-certify -> repoint -> retire",
+                        "# or step-by-step:",
                         "python tools/train_codebooks.py  # retrain on a grown-corpus sample",
                         "python tools/layout_embeddings.py --sf-dir "
                         + args.sf_dir
