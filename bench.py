@@ -118,6 +118,11 @@ BENCH_QUERIES = [
     "retrieval_hybrid_rrf_multi_filtered",  # r14: per-query predicates through BOTH hybrid arms
     "retrieval_hybrid_rrf_multi",    # batched hybrid fusion (1 dense + 1 sparse pass)
     "sim_topk_ivfpq_rerank_incr",    # probe over the epoch-appended incremental index
+    # operators NEW in round 15, benched from birth. NOTE: totals grew
+    # again; compare per-query across rounds.
+    "text_qld_multi_topk",           # r15: batched Dirichlet QLD (one union-term probe)
+    "text_qld_filtered_topk",        # r15: metadata-filtered QLD (corpus-global statistics)
+    "retrieval_hybrid_rrf_multi_streamed",  # r15: batched hybrid from STREAMED dense+sparse indexes
 ]
 
 WARM_COLD_TOL = 1.25  # warm may exceed cold by noise, not by 25%

@@ -237,6 +237,71 @@ def _source_mtime(sf_dir: str) -> float:
     return os.path.getmtime(src)
 
 
+# Expression-based encode (assign_cells / pq_encode_cols as Column
+# trees) is the right shape at gate k: whole-stage codegen fuses it into
+# the scan, zero Python. But the Column tree grows O(k·dim): at the
+# rule's k for grown corpora (64, 128, ... 2^16) the generated method
+# blows Janino's JIT budget and Spark silently falls back to interpreted
+# per-row evaluation — measured as a 30+-minute straggler encoding 15k
+# rows at k=128 that numpy does in milliseconds. Above this threshold
+# the layout build switches to an Arrow-batched mapInPandas encode whose
+# arithmetic is the BIT-IDENTICAL numpy twin of the scalar fold
+# (accumulate over the dim axis so every scalar sees the same sequential
+# rounding; stable argsort reproduces the first-min / cell-asc
+# tie-breaks) — pinned against the expression path in tests.
+_PANDAS_ENCODE_MIN_K = 32
+
+
+def _encode_batches(
+    schema_fields: list[str],
+    centroids: list[list[float]],
+    pq_books: list[list[list[float]]],
+    pq_sub_dim: int,
+    spill: int,
+):
+    """mapInPandas encoder: adds c0..c{S-1} + cell to each Arrow batch
+    (rows duplicated per spilled assignment when spill > 1)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in pq_books]
+
+    def seq_sq_dists(X: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        # left-to-right fold over the dim axis — the exact operation
+        # sequence of the zip_with/aggregate expression, so borderline
+        # ties cannot flip between the two encoders
+        acc = np.zeros((X.shape[0], cents.shape[0]))
+        for d in range(cents.shape[1]):
+            diff = X[:, d, None] - cents[None, :, d]
+            acc = acc + diff * diff
+        return acc
+
+    def fn(batches):
+        for pdf in batches:
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            out = pdf.copy()
+            for s, book in enumerate(books):
+                sub = X[:, s * pq_sub_dim : (s + 1) * pq_sub_dim]
+                # np.argmin returns the FIRST minimum — assign_cells's
+                # array_position(dists, array_min(dists)) tie-break
+                out[f"c{s}"] = np.argmin(
+                    seq_sq_dists(sub, book), axis=1
+                ).astype("int32")
+            d = seq_sq_dists(X, C)
+            if spill > 1:
+                # stable sort on dist == (dist asc, cell asc): the
+                # assign_cells_topn struct-sort tie-break
+                order = np.argsort(d, axis=1, kind="stable")[:, :spill]
+                rep = out.loc[out.index.repeat(spill)].reset_index(drop=True)
+                rep["cell"] = order.reshape(-1).astype("int32")
+                yield rep[schema_fields]
+            else:
+                out["cell"] = np.argmin(d, axis=1).astype("int32")
+                yield out[schema_fields]
+
+    return fn
+
+
 def ensure_cell_layout(
     spark: SparkSession,
     sf_dir: str,
@@ -282,19 +347,78 @@ def ensure_cell_layout(
             and meta.get("schema_version") == _LAYOUT_SCHEMA_VERSION
         ):
             return out
+    # The coarse-assignment + PQ-encode projection runs in the SCAN
+    # stage, so its parallelism is the input SPLIT count — and the
+    # expression is k x dim x spill heavy (seconds/MB at k=128), not
+    # IO-bound. A compact corpus in a few parquet files would hand one
+    # task the whole encode (measured: a 51 MB file = 1 task = a
+    # 30-minute straggler at k=128/spill=2). Narrow splits re-match
+    # split size to COMPUTE density without adding an exchange; restored
+    # after the build. At production file counts this is moot — but the
+    # knob is scale-neutral (metadata only).
+    _prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+    try:
+        return _build_cell_layout(
+            spark, sf_dir, centroids, pq_books, pq_sub_dim, spill, out,
+            marker, src_mtime, model_hash,
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", _prev_split)
+
+
+def _build_cell_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: list[list[float]],
+    pq_books: list[list[list[float]]],
+    pq_sub_dim: int,
+    spill: int,
+    out: str,
+    marker: str,
+    src_mtime: float,
+    model_hash: str,
+) -> str:
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        assign_cells,
+        assign_cells_topn,
+        pq_encode_cols,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
     emb = read_table(spark, sf_dir, "embeddings")
     # metadata columns (e.g. label) ride IN the layout: filtered ANN
     # evaluates its predicate inside the pruned codes scan (row-group
     # filter under the partition prune) instead of joining a
     # corpus-sized id->metadata map at serving time
     meta_cols = [c for c in emb.columns if c not in ("vec_id", "embedding")]
-    vecs = emb.select(
-        "vec_id",
-        "embedding",
-        *meta_cols,
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    if spill > 1:
+    if len(centroids) >= _PANDAS_ENCODE_MIN_K:
+        # rule-k regime: Arrow-batched numpy encode (see the threshold
+        # note above — the Column tree would fall out of codegen here)
+        fields = (
+            ["vec_id", "embedding"]
+            + meta_cols
+            + [f"c{s}" for s in range(len(pq_books))]
+            + ["cell"]
+        )
+        base = emb.select("vec_id", "embedding", *meta_cols)
+        schema = ", ".join(
+            [base.schema[c].simpleString().replace(":", " ", 1) for c in ("vec_id", "embedding")]
+            + [base.schema[c].simpleString().replace(":", " ", 1) for c in meta_cols]
+            + [f"c{s} int" for s in range(len(pq_books))]
+            + ["cell int"]
+        )
+        assigned = base.mapInPandas(
+            _encode_batches(fields, centroids, pq_books, pq_sub_dim, spill),
+            schema=schema,
+        )
+    elif spill > 1:
+        vecs = emb.select(
+            "vec_id",
+            "embedding",
+            *meta_cols,
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
         assigned = vecs.select(
             "vec_id",
             "embedding",
@@ -305,6 +429,12 @@ def ensure_cell_layout(
             ),
         )
     else:
+        vecs = emb.select(
+            "vec_id",
+            "embedding",
+            *meta_cols,
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
         assigned = vecs.select(
             "vec_id",
             "embedding",

@@ -2027,6 +2027,7 @@ def multi_topk_ivfpq(
     qids: list[int],
     k: int = 10,
     labels: dict[int, int] | None = None,
+    layout: str | None = None,
 ) -> DataFrame:
     """The batched serving pass for an arbitrary query-id batch: one
     pruned codes scan over the union of probe cells, broadcast
@@ -2056,7 +2057,8 @@ def multi_topk_ivfpq(
     )
 
     m = _serving_model(sf_dir)
-    layout = _serving_layout(spark, sf_dir)
+    if layout is None:
+        layout = _serving_layout(spark, sf_dir)
     qvecs = _query_vecs_multi(spark, sf_dir, qids)
     # vectorized batch ranking (r14): bit-identical to per-query
     # probe_cells_py (pinned in tests), numpy-speed at serving Q x large k
@@ -2553,6 +2555,90 @@ def retrieval_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = (
         _bm25_base(spark, sf_dir, _multi_terms())
         .join(F.broadcast(qt), "term")
+        .select("query_id", "doc_id", _c_micro())
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c_micro").alias("score_micro"))
+    )
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    sparse = (
+        scores.withColumn("r_sparse", F.row_number().over(w_s).cast("bigint"))
+        .filter(F.col("r_sparse") <= _CAND)
+        .select("query_id", F.col("doc_id").alias("id"), "r_sparse")
+    )
+    rr = lambda r: F.round(F.lit(float(_MICRO)) / (_RRF_K + r)).cast("bigint")  # noqa: E731
+    fused = dense.join(sparse, ["query_id", "id"], "full_outer").select(
+        "query_id",
+        "id",
+        "r_dense",
+        "r_sparse",
+        (
+            F.coalesce(rr(F.col("r_dense")), F.lit(0))
+            + F.coalesce(rr(F.col("r_sparse")), F.lit(0))
+        ).alias("rrf_micro"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f).cast("bigint"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "id", "r_dense", "r_sparse", "rrf_micro", "rank")
+    )
+
+
+@register("retrieval_hybrid_rrf_multi_streamed", _rrf_multi_oracle())
+def retrieval_hybrid_rrf_multi_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The batched hybrid answered ENTIRELY from STREAMED indexes
+    (VERDICT r14 ask #5) — the full freshness composition: the dense arm
+    probes the stream-ingested ANN index (_streamed_index: 3 real
+    micro-batches through foreachBatch -> append_cell_epoch), the sparse
+    arm scores from the stream-ingested postings index
+    (_streamed_text_index: per-batch postings epochs + additive corpus
+    stats), and the fusion is the unchanged RRF plan. Shares
+    retrieval_hybrid_rrf_multi's oracle — ONE hash match certifies the
+    streamed serving stack end to end (both index forms answer
+    identically to their one-shot layouts, so the fused ranking must be
+    identical too)."""
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_capstone_spark.queries.retrieval import (
+        _CAND,
+        _MICRO,
+        _MULTI_QUERIES,
+        _RRF_K,
+        _TOPK,
+        _c_micro,
+        _multi_terms,
+        _streamed_text_index,
+    )
+    from streaming_data_pipeline_capstone_spark.streaming.text_index_stream import (
+        bm25_base_from_stream_index,
+    )
+
+    dense = multi_topk_ivfpq(
+        spark,
+        sf_dir,
+        _MULTI_QIDS,
+        k=_CAND,
+        layout=_streamed_index(spark, sf_dir),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("id"),
+        F.col("rank").alias("r_dense"),
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(_MULTI_QUERIES.items()) for t in ts],
+        "query_id int, term string",
+    )
+    base = bm25_base_from_stream_index(
+        spark, _streamed_text_index(spark, sf_dir), _multi_terms()
+    )
+    scores = (
+        base.join(F.broadcast(qt), "term")
         .select("query_id", "doc_id", _c_micro())
         .groupBy("query_id", "doc_id")
         .agg(F.sum("c_micro").alias("score_micro"))

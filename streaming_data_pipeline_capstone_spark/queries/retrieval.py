@@ -545,6 +545,211 @@ def text_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- QLD on the serving axes (r15: VERDICT r14 ask #4) ------------------------
+# The BM25 family already serves the batch axis (text_bm25_multi_topk)
+# and the metadata-filter axis (text_bm25_filtered_topk); the postings
+# layout makes each a small delta for QLD too. Batch: ONE bucket-pruned
+# probe of the union terms, the broadcast (query_id, term) frame fans
+# postings to their queries, candidates/grids go per-query, ranks are a
+# query_id-partitioned window — queries add partitions, never passes.
+# Filter: statistics stay CORPUS-GLOBAL (cf over the term's complete
+# postings, |C| from the marker — the standard filtered-search
+# semantics), only the candidate set is restricted, and the predicate
+# evaluates inside the pruned postings scan (lang rides in the row).
+
+
+def _qld_multi_oracle() -> str:
+    tl = ", ".join(f"'{t}'" for t in _multi_terms())
+    qrows = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in sorted(_MULTI_QUERIES.items()) for t in ts
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    lens AS (SELECT doc_id, len(t) AS dl FROM d),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM d)
+      WHERE term IN ({tl})
+      GROUP BY doc_id, term
+    ),
+    q(query_id, term) AS (VALUES {qrows}),
+    cf AS (SELECT term, CAST(SUM(tf) AS DOUBLE) AS cf FROM tf GROUP BY term),
+    c AS (SELECT CAST(SUM(dl) AS DOUBLE) AS c FROM lens),
+    cand AS (
+      SELECT DISTINCT q.query_id, tf.doc_id, lens.dl
+      FROM tf JOIN q USING (term) JOIN lens USING (doc_id)
+    ),
+    qcf AS (SELECT q.query_id, q.term, cf.cf FROM q JOIN cf USING (term)),
+    grid AS (
+      SELECT cand.query_id, cand.doc_id, cand.dl, qcf.term, qcf.cf
+      FROM cand JOIN qcf USING (query_id)
+    ),
+    contrib AS (
+      SELECT g.query_id, g.doc_id,
+             CAST(round(ln((COALESCE(tf.tf, 0) + {_QLD_MU} * g.cf / c.c)
+                           / (g.dl + {_QLD_MU})) * {_MICRO}.0, 0) AS BIGINT) AS c_micro
+      FROM grid g LEFT JOIN tf ON g.doc_id = tf.doc_id AND g.term = tf.term, c
+    ),
+    ql AS (
+      SELECT query_id, doc_id, CAST(SUM(c_micro) AS BIGINT) AS ql_micro
+      FROM contrib GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, ql_micro,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ql_micro DESC, doc_id ASC) AS BIGINT) AS rank
+      FROM ql
+    )
+    SELECT query_id, doc_id, ql_micro, rank
+    FROM ranked WHERE rank <= {_TOPK}
+    """
+
+
+@register("text_qld_multi_topk", _qld_multi_oracle())
+def text_qld_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 per query by Dirichlet query likelihood for the standing
+    3-query batch — (query_id, doc_id, ql_micro, rank) through ONE
+    bucket-pruned probe of the union terms; the qid=0 slice is pinned
+    identical to text_qld_topk in tests."""
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_capstone_spark.operators.text_layout import (
+        ensure_postings_layout,
+        read_postings,
+    )
+
+    meta = ensure_postings_layout(spark, sf_dir)
+    post = read_postings(spark, meta, _multi_terms())
+    c_total = float(meta["sum_dl"])
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(_MULTI_QUERIES.items()) for t in ts],
+        "query_id int, term string",
+    )
+    cf = post.groupBy("term").agg(F.sum("tf").cast("double").alias("cf"))
+    qcf = q.join(cf, "term")  # |Σ query terms| rows — broadcast below
+    cand = (
+        post.join(F.broadcast(q), "term")
+        .select("query_id", "doc_id", "dl")
+        .distinct()
+    )
+    grid = cand.join(F.broadcast(qcf), "query_id")
+    tfd = F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+    contrib = grid.join(
+        post.select("doc_id", "term", "tf"), ["doc_id", "term"], "left"
+    ).select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.log(
+                (tfd + _QLD_MU * F.col("cf") / F.lit(c_total))
+                / (F.col("dl").cast("double") + _QLD_MU)
+            )
+            * _MICRO,
+            0,
+        )
+        .cast("bigint")
+        .alias("c_micro"),
+    )
+    scores = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c_micro").alias("ql_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ql_micro"), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "doc_id", "ql_micro", "rank")
+    )
+
+
+def _qld_filtered_oracle() -> str:
+    tl = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    lens AS (SELECT doc_id, len(t) AS dl FROM d),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM d)
+      WHERE term IN ({tl})
+      GROUP BY doc_id, term
+    ),
+    cf AS (SELECT term, CAST(SUM(tf) AS DOUBLE) AS cf FROM tf GROUP BY term),
+    c AS (SELECT CAST(SUM(dl) AS DOUBLE) AS c FROM lens),
+    cand AS (
+      SELECT DISTINCT tf.doc_id, lens.dl
+      FROM tf JOIN lens USING (doc_id)
+      JOIN documents dd ON tf.doc_id = dd.doc_id AND dd.lang = '{_FILTER_LANG}'
+    ),
+    grid AS (SELECT cand.doc_id, cand.dl, cf.term, cf.cf FROM cand CROSS JOIN cf),
+    contrib AS (
+      SELECT g.doc_id,
+             CAST(round(ln((COALESCE(tf.tf, 0) + {_QLD_MU} * g.cf / c.c)
+                           / (g.dl + {_QLD_MU})) * {_MICRO}.0, 0) AS BIGINT) AS c_micro
+      FROM grid g LEFT JOIN tf ON g.doc_id = tf.doc_id AND g.term = tf.term, c
+    ),
+    ql AS (
+      SELECT doc_id, CAST(SUM(c_micro) AS BIGINT) AS ql_micro
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, ql_micro FROM ql
+    ORDER BY ql_micro DESC, doc_id ASC
+    LIMIT {_TOPK}
+    """
+
+
+@register("text_qld_filtered_topk", _qld_filtered_oracle())
+def text_qld_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 by Dirichlet query likelihood AMONG lang='{lang}' documents
+    only — collection statistics (cf, |C|) stay corpus-global, the
+    candidate set is restricted by the in-layout metadata predicate
+    evaluated inside the pruned postings scan.""".format(lang=_FILTER_LANG)
+    from streaming_data_pipeline_capstone_spark.operators.text_layout import (
+        ensure_postings_layout,
+        read_postings,
+    )
+
+    meta = ensure_postings_layout(spark, sf_dir)
+    post = read_postings(spark, meta, _QUERY_TERMS)
+    c_total = float(meta["sum_dl"])
+    cf = post.groupBy("term").agg(F.sum("tf").cast("double").alias("cf"))
+    cand = (
+        post.filter(F.col("lang") == _FILTER_LANG)
+        .select("doc_id", "dl")
+        .distinct()
+    )
+    grid = cand.crossJoin(F.broadcast(cf))
+    tfd = F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+    contrib = grid.join(
+        post.select("doc_id", "term", "tf"), ["doc_id", "term"], "left"
+    ).select(
+        "doc_id",
+        F.round(
+            F.log(
+                (tfd + _QLD_MU * F.col("cf") / F.lit(c_total))
+                / (F.col("dl").cast("double") + _QLD_MU)
+            )
+            * _MICRO,
+            0,
+        )
+        .cast("bigint")
+        .alias("c_micro"),
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c_micro").alias("ql_micro"))
+        .orderBy(F.desc("ql_micro"), F.asc("doc_id"))
+        .limit(_TOPK)
+    )
+
+
 # -- streaming postings-index ingestion (r14) ---------------------------------
 # The sparse twin of stream_ann_index_ingest: documents replayed as a
 # real Structured Streaming job land per-batch postings epochs + additive

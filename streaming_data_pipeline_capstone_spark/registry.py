@@ -98,6 +98,18 @@ def _load_all() -> None:
 # the r10 stream_curation_verdicts delivery gap hid behind exactly that
 # tolerance.
 _SAMPLE_FIRST = [
+    # new or semantically changed in r15 (QLD composed onto the batch and
+    # filter serving axes; the batched hybrid answered from STREAMED
+    # indexes; the whole dense serving family rerouted through per-corpus
+    # serving-model resolution — a no-op at the gate corpora, pinned by
+    # these samples)
+    "text_qld_multi_topk",
+    "text_qld_filtered_topk",
+    "retrieval_hybrid_rrf_multi_streamed",
+    "sim_topk_ivf_pruned",
+    "sim_topk_ivfpq_pruned",
+    "sim_topk_ivfpq_rerank_pruned",
+    "sim_topk_ivfpq_rerank_spill",
     # new or semantically changed in r14 (the term-bucketed postings
     # layout reroutes the whole BM25/hybrid family; the filtered batched
     # probe composes the r13 filter and batch axes)

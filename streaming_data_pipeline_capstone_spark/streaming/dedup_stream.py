@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -535,6 +535,143 @@ def index_compaction_due(
     index_dir: str, max_bucket_files: int = MAX_BUCKET_FILES
 ) -> bool:
     return files_per_bucket(index_dir) > max_bucket_files
+
+
+# Write-side rebucket trigger rule (VERDICT r14 #3). The files-per-bucket
+# threshold above bounds READ amplification only; the r14 probe
+# (BENCH_stream_compaction_r14.json Phase B) proved that at over-sized
+# fan-out the per-batch cost is the WRITE side — each epoch commits ~1
+# dir+file per touched bucket and the commit protocol walks them all —
+# which read-side compaction cannot recover (17.4 s/batch compacted vs
+# 1.34 s after a rebucket to 16). So fan-out is bounded from BOTH sides:
+# the touched-fraction rule (state_bucket_prefix_len) sets the floor a
+# pruned read needs, and a FILE-SIZE floor sets the ceiling a write can
+# afford — a (bucket, epoch) file far below a real parquet file (row
+# groups, dictionary pages) is pure commit overhead. The decision reads
+# only directory metadata the index already has: per-epoch touched
+# buckets and bytes. It fires when the marker's fan-out exceeds the
+# file-floor target by >= REBUCKET_OVERSIZE for REBUCKET_WINDOW
+# consecutive epochs, and names the target (power-of-16, the bucket
+# convention) for the compaction point to rebucket to — compaction IS
+# the legitimate rebucket path (it rewrites every bucket anyway and
+# re-pins the marker, so probes can never hash with a stale fan-out).
+
+REBUCKET_FILE_FLOOR = 1 << 20  # 1 MiB: the smallest honest parquet file
+REBUCKET_OVERSIZE = 4  # fan-out must exceed the target 4x to bother
+REBUCKET_WINDOW = 4  # sustained over this many consecutive epochs
+
+
+def epoch_write_stats(table_path: str) -> dict[int, dict]:
+    """Per-epoch write shape of one epoch-partitioned state table:
+    ``{epoch: {"touched_buckets": n, "bytes": b}}`` from ONE recursive
+    listing of the table tree (directory metadata through the Hadoop
+    FileSystem API — the compaction trigger's listing contract; no data
+    read). The compaction sentinel epoch -1 is excluded: it describes
+    history, not a batch."""
+    spark = SparkSession.getActiveSession()
+    stats: dict[int, dict] = {}
+
+    def add(epoch: int, bkt: str, nbytes: int) -> None:
+        if epoch < 0:
+            return
+        rec = stats.setdefault(
+            epoch, {"touched_buckets": set(), "bytes": 0}
+        )
+        rec["touched_buckets"].add(bkt)
+        rec["bytes"] += nbytes
+
+    if spark is None:
+        if not os.path.isdir(table_path):
+            return {}
+        for bdir in os.listdir(table_path):
+            if not bdir.startswith("bkt="):
+                continue
+            bfull = os.path.join(table_path, bdir)
+            for edir in os.listdir(bfull) if os.path.isdir(bfull) else []:
+                if not edir.startswith("epoch="):
+                    continue
+                efull = os.path.join(bfull, edir)
+                nbytes = sum(
+                    os.path.getsize(os.path.join(efull, f))
+                    for f in os.listdir(efull)
+                    if f.endswith(".parquet")
+                )
+                add(int(edir.split("=", 1)[1]), bdir, nbytes)
+    else:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(table_path)
+        fs = root.getFileSystem(conf)
+        if not fs.exists(root):
+            return {}
+        it = fs.listFiles(root, True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath()
+            if not p.getName().endswith(".parquet"):
+                continue
+            edir = p.getParent().getName()
+            bdir = p.getParent().getParent().getName()
+            if not (edir.startswith("epoch=") and bdir.startswith("bkt=")):
+                continue
+            add(int(edir.split("=", 1)[1]), bdir, st.getLen())
+    return {
+        e: {"touched_buckets": len(r["touched_buckets"]), "bytes": r["bytes"]}
+        for e, r in stats.items()
+    }
+
+
+def rebucket_decision(
+    table_path: str,
+    current_fanout: int,
+    window: int = REBUCKET_WINDOW,
+    file_floor: int = REBUCKET_FILE_FLOOR,
+    oversize: int = REBUCKET_OVERSIZE,
+) -> dict:
+    """Should the next compaction point REBUCKET this table, and to what
+    fan-out? Target: the largest power-of-16 fan-out keeping the expected
+    (bucket, epoch) file at or above ``file_floor`` bytes for the
+    observed batch size — est_batch_bytes // file_floor buckets, floored
+    at 16. Due iff the last ``window`` epochs ALL wrote at that
+    estimate's scale (sustained, not a one-off small batch) and the
+    current fan-out exceeds the target by >= ``oversize``."""
+    import math
+
+    stats = epoch_write_stats(table_path)
+    epochs = sorted(stats)[-window:]
+    out = {
+        "table": table_path,
+        "current_fanout": int(current_fanout),
+        "window_epochs": epochs,
+        "rebucket_due": False,
+    }
+    if len(epochs) < window:
+        out["reason"] = f"fewer than {window} batch epochs observed"
+        return out
+    batch_bytes = [stats[e]["bytes"] for e in epochs]
+    est = max(batch_bytes)  # the LARGEST recent batch sets the target
+    target_prefix = max(1, int(math.log(max(1, est // file_floor), 16)))
+    target_fanout = 16 ** target_prefix
+    out.update(
+        est_batch_bytes=est,
+        observed_touched=[stats[e]["touched_buckets"] for e in epochs],
+        target_prefix_len=target_prefix,
+        target_fanout=target_fanout,
+    )
+    if current_fanout >= oversize * target_fanout:
+        out["rebucket_due"] = True
+        out["reason"] = (
+            f"fan-out {current_fanout} is >= {oversize}x the file-floor "
+            f"target {target_fanout} for {window} consecutive epochs "
+            f"(largest batch {est} B -> {target_fanout} buckets at a "
+            f"{file_floor} B file floor)"
+        )
+    else:
+        out["reason"] = (
+            f"fan-out {current_fanout} within {oversize}x of target "
+            f"{target_fanout}"
+        )
+    return out
 
 
 def maybe_compact_index(

@@ -115,8 +115,19 @@ def streaming_postings_ingest(
     the identical source from the start — the idempotent overwrite then
     rewrites each epoch with its own content (pinned in tests); any
     other content at colliding epoch ids would replace history."""
-    prefix_len = postings_prefix_len(expected_vocab)
-    check_or_write_index_layout(index_dir, prefix_len, 16 ** prefix_len)
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        read_index_layout,
+    )
+
+    try:
+        # an EXISTING index's marker is the authority (the restart and
+        # restart-after-rebucket path — the vocabulary estimate only
+        # sizes a NEW index; maybe_compact_postings_index may have
+        # legitimately moved the fan-out since creation)
+        prefix_len = int(read_index_layout(index_dir)["bh_prefix_len"])
+    except FileNotFoundError:
+        prefix_len = postings_prefix_len(expected_vocab)
+        check_or_write_index_layout(index_dir, prefix_len, 16 ** prefix_len)
 
     def ingest(batch: DataFrame, epoch_id: int) -> None:
         post, stats = _batch_postings(batch)
@@ -136,6 +147,52 @@ def streaming_postings_ingest(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def maybe_compact_postings_index(
+    spark: SparkSession,
+    index_dir: str,
+    partitions: int = 32,
+    max_bucket_files: int | None = None,
+    auto_rebucket: bool = True,
+) -> bool:
+    """The streamed postings index's maintenance point — both rules:
+
+    - files-per-bucket (read amplification): collapse epochs at the
+      current fan-out when any bucket crosses the threshold;
+    - write-side rebucket (VERDICT r14 #3): when the sustained batch
+      write shape says the fan-out is over-sized for the batch bytes
+      (dedup_stream.rebucket_decision), the compaction rewrite ALSO
+      moves every posting to the target fan-out and re-pins the marker —
+      probes read the fan-out from the marker, so serving follows the
+      rebucket with no code change (the ask-#2 marker-probe contract is
+      what makes this safe).
+
+    Returns whether a rewrite ran. Only call with ingest stopped and its
+    checkpoint committed (compact_epoch_table's contract)."""
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        MAX_BUCKET_FILES,
+        compact_epoch_table,
+        _write_index_layout,
+        files_per_bucket_table,
+        read_index_layout,
+        rebucket_decision,
+    )
+
+    prefix_len = int(read_index_layout(index_dir)["bh_prefix_len"])
+    post = os.path.join(index_dir, "postings")
+    if auto_rebucket:
+        decision = rebucket_decision(post, 16 ** prefix_len)
+        if decision["rebucket_due"]:
+            target = decision["target_prefix_len"]
+            compact_epoch_table(spark, post, _term_bucket(target), partitions)
+            _write_index_layout(index_dir, target, 16 ** target)
+            return True
+    limit = MAX_BUCKET_FILES if max_bucket_files is None else max_bucket_files
+    if files_per_bucket_table(post) <= limit:
+        return False
+    compact_epoch_table(spark, post, _term_bucket(prefix_len), partitions)
+    return True
 
 
 def bm25_topk_from_stream_index(
@@ -161,6 +218,32 @@ def bm25_topk_from_stream_index(
     from streaming_data_pipeline_capstone_spark.queries.retrieval import (
         _c_micro,
     )
+
+    base = bm25_base_from_stream_index(spark, index_dir, terms)
+    if base is None:
+        return spark.createDataFrame([], "doc_id bigint, score_micro bigint")
+    contrib = base.select("doc_id", _c_micro())
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c_micro").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(topk)
+    )
+
+
+def bm25_base_from_stream_index(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+) -> DataFrame | None:
+    """The streamed-index twin of queries/retrieval._bm25_base:
+    (doc_id, term, tf, dl, lang, avgdl, idf) reconstructed from the
+    streamed epochs — global statistics exact (integer sums), fan-out
+    from the index's own marker, bucket-pruned probe of the union terms.
+    One base serves the single-query gate AND the batched/hybrid
+    serving entries, so formula/tokenization can never drift between
+    index forms. ``None`` when none of the probed buckets exist (empty
+    index / absent terms)."""
     from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
         _existing_bucket_paths,
         read_index_layout,
@@ -180,12 +263,12 @@ def bm25_topk_from_stream_index(
     buckets = sorted({term_bucket_py(t, prefix_len) for t in terms})
     sub = _existing_bucket_paths(spark, post_root, buckets)
     if not sub:
-        return spark.createDataFrame([], "doc_id bigint, score_micro bigint")
+        return None
     post = (
         spark.read.option("basePath", post_root)
         .parquet(*sub)
         .filter(F.col("term").isin(terms))
-        .select("term", "doc_id", "tf", "dl")
+        .select("term", "doc_id", "tf", "dl", "lang")
     )
     dfreq = post.groupBy("term").agg(
         F.count("*").cast("double").alias("df")
@@ -197,14 +280,8 @@ def bm25_topk_from_stream_index(
             + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
         ).alias("idf"),
     )
-    contrib = (
+    return (
         post.join(F.broadcast(idf), "term")
         .withColumn("avgdl", F.lit(avgdl))
-        .select("doc_id", _c_micro())
-    )
-    return (
-        contrib.groupBy("doc_id")
-        .agg(F.sum("c_micro").alias("score_micro"))
-        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
-        .limit(topk)
+        .select("doc_id", "term", "tf", "dl", "lang", "avgdl", "idf")
     )

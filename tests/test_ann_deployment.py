@@ -766,3 +766,70 @@ def test_filtered_hybrid_arms_respect_their_predicates(spark, sf_oracle):
             sparse_seen += 1
             assert langs[r.id] == _FILTER_LANGS_MULTI[r.query_id], r
     assert sparse_seen >= 10, "vacuous: sparse arm contributed almost nothing"
+
+
+def test_pandas_encode_bit_identical_to_expression_encode(spark):
+    """The Arrow-batched layout encoder (the rule-k path — the Column
+    tree falls out of codegen at large k) must be BIT-IDENTICAL to the
+    expression encoder: same PQ codes, same cell assignments, same
+    spilled top-n order, including forced ties (duplicate centroids and
+    equidistant points must resolve by the same first-min / cell-asc
+    tie-breaks)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_capstone_spark.operators.ann_layout import (
+        _encode_batches,
+    )
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        assign_cells,
+        assign_cells_topn,
+        pq_encode_cols,
+    )
+
+    rng = np.random.RandomState(11)
+    dim, subs, sub_dim, k, spill = 16, 4, 4, 6, 2
+    mat = rng.randn(80, dim).round(2)
+    # tie-forcing rows: exactly on a centroid, and between two centroids
+    cents = [list(map(float, rng.randn(dim).round(2))) for _ in range(k)]
+    cents[3] = list(cents[1])  # duplicate centroid: every row ties 1 vs 3
+    mat[0] = cents[1]
+    books = [
+        [list(map(float, rng.randn(sub_dim).round(2))) for _ in range(5)]
+        for _ in range(subs)
+    ]
+    books[2][4] = list(books[2][1])  # duplicate codeword tie
+
+    rows = [(i, [float(x) for x in mat[i]], int(i % 3)) for i in range(len(mat))]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    expr = df.select(
+        "vec_id",
+        "label",
+        *pq_encode_cols(v, books, sub_dim),
+        F.explode(assign_cells_topn(v, cents, spill)).alias("cell"),
+    )
+    fields = ["vec_id", "embedding", "label"] + [
+        f"c{s}" for s in range(subs)
+    ] + ["cell"]
+    schema = (
+        "vec_id bigint, embedding array<float>, label int, "
+        + ", ".join(f"c{s} int" for s in range(subs))
+        + ", cell int"
+    )
+    pand = df.mapInPandas(
+        _encode_batches(fields, cents, books, sub_dim, spill), schema=schema
+    ).drop("embedding")
+    key = lambda r: (r[0],) + tuple(r[1:])  # noqa: E731
+    got_e = sorted(map(tuple, expr.collect()))
+    got_p = sorted(map(tuple, pand.select(*[c for c in expr.columns]).collect()))
+    assert got_e == got_p
+    # row 0 sits exactly on duplicated centroids 1 and 3: the spilled
+    # top-2 must be exactly {1, 3} (dist 0 twice, cell-asc tie order) in
+    # BOTH encoders — covered by the equality above; pin the content too
+    cells = {r[0]: [] for r in got_p}
+    for r in got_p:
+        cells[r[0]].append(r[-1])
+    assert sorted(cells[0]) == [1, 3]

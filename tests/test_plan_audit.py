@@ -44,6 +44,7 @@ BNLJ_OK = {
     "corpus_health_lm_by_source",  # the bucket chain's broadcast frames
     "retrieval_hybrid_rrf",  # brute-force dense arm: broadcast 1-row query vector
     "text_qld_topk",  # crossJoin against the broadcast |Q|-row (term, cf) frame
+    "text_qld_filtered_topk",  # same broadcast (term, cf) crossJoin, filtered candidates
 }
 
 # Audited exchange count per query (broadcasts excluded). UPPER bounds:
@@ -162,6 +163,9 @@ SHUFFLE_BUDGET = {
     "text_bm25_multi_topk": 2,  # r14 postings layout
     "text_bm25_filtered_topk": 1,  # r14: predicate inside the pruned postings scan
     "text_qld_topk": 3,  # r14: candidates distinct + grid join + per-doc sum
+    "text_qld_multi_topk": 4,  # r15: + the per-query rank window exchange
+    "text_qld_filtered_topk": 3,  # r15: same shape as the single QLD, filtered candidates
+    "retrieval_hybrid_rrf_multi_streamed": 9,  # r15: multi's 8 + the streamed stats agg
     "stream_text_index_ingest": 2,  # r14: streamed-postings probe (df agg + per-doc sum)
     # RRF: BM25's plan + dense TakeOrdered candidate gen; the fusion
     # windows/outer-join run on <=50-row frames
@@ -316,6 +320,7 @@ PQ_CODE_SCAN_QUERIES = {
     "retrieval_hybrid_rrf_multi",  # its dense arm is the batched probe
     "sim_topk_ivfpq_rerank_incr",  # same codes layout + the epoch partition col
     "stream_ann_index_ingest",  # same layout, built by the ingest stream
+    "retrieval_hybrid_rrf_multi_streamed",  # r15: dense arm reads the streamed codes layout
 }
 MAX_PQ_SCAN_COLS = 32 + 2  # c0..c31 + vec_id + cell
 

@@ -610,17 +610,182 @@ def test_streamed_postings_fanout_rule_and_marker_probe(spark, tmp_path):
     ]
     assert streamed == one_shot and streamed
 
-    # restarting the ingest with an estimate that CHANGES the fan-out
-    # must fail fast (the marker pins the layout for the index's life)
-    with pytest.raises(ValueError, match="layout mismatch"):
-        streaming_postings_ingest(
-            stream_from_replay(spark, replay_dir, schema),
-            index_dir,
-            work + "/ckpt-b",
-            expected_vocab=100,
-        )
+    # restarting the ingest with a DIFFERENT estimate keeps the marker's
+    # fan-out (the estimate only sizes a NEW index; the marker is the
+    # authority for an existing one — the restart-after-rebucket path)
+    q = streaming_postings_ingest(
+        stream_from_replay(spark, replay_dir, schema),
+        index_dir,
+        work + "/ckpt-b",
+        expected_vocab=100,
+    )
+    q.awaitTermination()
+    with open(os.path.join(index_dir, "_LAYOUT_META.json")) as fh:
+        assert json.load(fh)["bh_prefix_len"] == 2
+    assert [
+        tuple(r)
+        for r in bm25_topk_from_stream_index(
+            spark, index_dir, _QUERY_TERMS, 20
+        ).collect()
+    ] == streamed
 
     # probing an unmarked index refuses instead of guessing a fan-out
     os.remove(os.path.join(index_dir, "_LAYOUT_META.json"))
     with pytest.raises(FileNotFoundError, match="_LAYOUT_META"):
         bm25_topk_from_stream_index(spark, index_dir, _QUERY_TERMS, 20)
+
+
+def test_qld_multi_slice_pins_to_single_and_filtered_sane(spark, sf_oracle):
+    """The batched QLD's qid=0 slice must equal text_qld_topk row for
+    row (same statistics, same grid, just fanned); the filtered QLD must
+    return only lang-matching docs, keep corpus-global statistics (its
+    scores appear verbatim in the unfiltered ranking), and be a
+    subsequence of it."""
+    from streaming_data_pipeline_capstone_spark.queries.retrieval import (
+        _FILTER_LANG,
+        text_qld_filtered_topk,
+        text_qld_multi_topk,
+        text_qld_topk,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.readers import read_table
+
+    single = [
+        (r.doc_id, r.ql_micro) for r in text_qld_topk(spark, sf_oracle).collect()
+    ]
+    batch = text_qld_multi_topk(spark, sf_oracle).collect()
+    slice0 = [
+        (r.doc_id, r.ql_micro)
+        for r in sorted(
+            (r for r in batch if r.query_id == 0), key=lambda r: r.rank
+        )
+    ]
+    assert slice0 == single and single
+    qids = {r.query_id for r in batch}
+    assert qids == {0, 1, 2}
+    for qid in qids:
+        ranks = sorted(r.rank for r in batch if r.query_id == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+    filt = text_qld_filtered_topk(spark, sf_oracle).collect()
+    assert filt
+    langs = {
+        r.doc_id: r.lang
+        for r in read_table(spark, sf_oracle, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert all(langs[r.doc_id] == _FILTER_LANG for r in filt)
+    # corpus-global statistics: a filtered doc's score is its unfiltered
+    # QLD score (restricting candidates must not move anyone's number)
+    unfiltered = dict(single)
+    for r in filt:
+        if r.doc_id in unfiltered:
+            assert unfiltered[r.doc_id] == r.ql_micro, r.doc_id
+
+
+def test_streamed_postings_write_side_rebucket(spark, tmp_path):
+    """The write-side rebucket trigger (VERDICT r14 #3): an index whose
+    fan-out is over-sized for its sustained batch bytes must (a) be
+    detected by the rule from directory metadata alone, (b) be rebucketed
+    AT the compaction point to the file-floor target with the marker
+    re-pinned, (c) answer identically before and after, and (d) accept a
+    resumed ingest that follows the marker's new fan-out."""
+    import json
+    import os
+
+    from streaming_data_pipeline_capstone_spark.queries.retrieval import (
+        _QUERY_TERMS,
+    )
+    from streaming_data_pipeline_capstone_spark.sources.replay import (
+        replay_to_files,
+        stream_from_replay,
+    )
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        epoch_write_stats,
+        rebucket_decision,
+    )
+    from streaming_data_pipeline_capstone_spark.streaming.text_index_stream import (
+        bm25_topk_from_stream_index,
+        maybe_compact_postings_index,
+        streaming_postings_ingest,
+    )
+
+    corpus_rows = [
+        (i, f"hash join window {'scan ' * (i % 3)}filler{i}", "en")
+        for i in range(1, 41)
+    ]
+    docs = spark.createDataFrame(
+        corpus_rows, "doc_id BIGINT, text STRING, lang STRING"
+    )
+    work = str(tmp_path / "stream")
+    replay_dir, index_dir = work + "/replay", work + "/index"
+    # a wildly over-sized estimate -> prefix 3 = 4096 buckets for ~40
+    # tiny docs per batch: the Phase-B regime, reproduced
+    schema = replay_to_files(docs, replay_dir, 5, order_col="doc_id")
+    q = streaming_postings_ingest(
+        stream_from_replay(spark, replay_dir, schema),
+        index_dir,
+        work + "/ckpt",
+        expected_vocab=10_000_000,
+    )
+    q.awaitTermination()
+    with open(os.path.join(index_dir, "_LAYOUT_META.json")) as fh:
+        assert json.load(fh)["bh_prefix_len"] == 3
+
+    stats = epoch_write_stats(index_dir + "/postings")
+    assert len(stats) == 5 and all(
+        v["touched_buckets"] > 0 and v["bytes"] > 0 for v in stats.values()
+    )
+    decision = rebucket_decision(index_dir + "/postings", 4096)
+    assert decision["rebucket_due"] and decision["target_fanout"] == 16
+    # the same shape is NOT due when the file floor is tiny (the fan-out
+    # is then justified by the batch bytes) or the window unfilled
+    assert not rebucket_decision(
+        index_dir + "/postings", 4096, file_floor=1
+    )["rebucket_due"]
+    assert not rebucket_decision(
+        index_dir + "/postings", 4096, window=6
+    )["rebucket_due"]
+
+    before = [
+        tuple(r)
+        for r in bm25_topk_from_stream_index(
+            spark, index_dir, _QUERY_TERMS, 20
+        ).collect()
+    ]
+    assert before
+    assert maybe_compact_postings_index(spark, index_dir)
+    with open(os.path.join(index_dir, "_LAYOUT_META.json")) as fh:
+        assert json.load(fh)["bh_prefix_len"] == 1
+    after = [
+        tuple(r)
+        for r in bm25_topk_from_stream_index(
+            spark, index_dir, _QUERY_TERMS, 20
+        ).collect()
+    ]
+    assert after == before
+
+    # resumed ingest follows the marker's NEW fan-out: land one more doc
+    # on the SAME checkpoint lineage, the index stays consistent
+    import shutil as _shutil
+
+    extra = spark.createDataFrame(
+        [(99, "scan scan scan hash join window", "en")],
+        "doc_id BIGINT, text STRING, lang STRING",
+    )
+    replay2 = work + "/replay2"
+    replay_to_files(extra, replay2, 1, order_col="doc_id")
+    _shutil.move(replay2 + "/chunk=00000", replay_dir + "/chunk=00005")
+    q = streaming_postings_ingest(
+        stream_from_replay(spark, replay_dir, schema),
+        index_dir,
+        work + "/ckpt",
+        expected_vocab=10_000_000,  # ignored: marker wins
+    )
+    q.awaitTermination()
+    with open(os.path.join(index_dir, "_LAYOUT_META.json")) as fh:
+        assert json.load(fh)["bh_prefix_len"] == 1
+    grown = bm25_topk_from_stream_index(
+        spark, index_dir, _QUERY_TERMS, 20
+    ).collect()
+    assert any(r.doc_id == 99 for r in grown)

@@ -469,12 +469,139 @@ def run_stream_asymptote_probe(spark, sf_dir: str, batch_docs: int = 25_000) -> 
     }
 
 
+def run_stream_rebucket_probe(spark, sf_dir: str) -> dict:
+    """The write-side rebucket trigger, firing AUTOMATICALLY
+    (VERDICT r14 #3; the r14 probe's Phase C chose its target by hand).
+
+    Two phases over a DOUBLED corpus against one persistent fp index:
+
+    - phase A: the touched-fraction rule's fan-out for 500-doc batches
+      (prefix 3 = 4096 buckets), index 0→N — the measured cliff band
+      (write-side commit cost, ~11 s/batch at r14);
+    - ONE maintenance call — ``maybe_compact_fp_index`` with NO explicit
+      fan-out: ``rebucket_decision`` reads the per-epoch write shape
+      (touched buckets + bytes vs the 1 MiB file floor) from directory
+      metadata, names the target, and the compaction rewrite rebuckets
+      to it and re-pins the marker;
+    - phase B: N→2N with the stream resuming FROM THE MARKER
+      (fp_prefix_len=None) — per-batch wall must fall back toward the
+      fan-out-16 band with zero operator intervention.
+
+    Verdict-table identity holds throughout (all 2N docs present)."""
+    from streaming_data_pipeline_capstone_spark.streaming.curation_stream import (
+        maybe_compact_fp_index,
+        start_verdict_stream,
+    )
+    from streaming_data_pipeline_capstone_spark.streaming.dedup_stream import (
+        read_index_layout,
+        rebucket_decision,
+        state_bucket_prefix_len,
+    )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    n_docs = docs.count()
+    shift = docs.agg({"doc_id": "max"}).collect()[0][0] + 1
+    doubled = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + F.lit(shift)).alias("doc_id"), "lang", "text"
+        )
+    )
+    beta = fit_quality_model(spark, sf_dir)
+
+    workdir = tempfile.mkdtemp(prefix="bench_stream_rebucket_")
+    try:
+        replay_dir = os.path.join(workdir, "replay")
+        schema = replay_to_files(
+            doubled, replay_dir, 2 * NUM_CHUNKS, order_col="doc_id"
+        )
+        hidden = os.path.join(workdir, "hidden")
+        os.makedirs(hidden)
+        all_chunks = [f"chunk={i:05d}" for i in range(2 * NUM_CHUNKS)]
+        for c in all_chunks[NUM_CHUNKS:]:
+            shutil.move(os.path.join(replay_dir, c), os.path.join(hidden, c))
+
+        out_dir = os.path.join(workdir, "verdicts")
+        state_dir = os.path.join(workdir, "state")
+        ckpt = os.path.join(workdir, "ckpt")
+        batch_docs = n_docs // NUM_CHUNKS
+        rule_prefix = state_bucket_prefix_len(batch_docs)
+        fp_path = os.path.join(state_dir, "fp_min")
+
+        def drain(prefix_len):
+            t0 = time.perf_counter()
+            q = start_verdict_stream(
+                stream_from_replay(spark, replay_dir, schema),
+                beta,
+                out_dir,
+                state_dir,
+                ckpt,
+                fp_prefix_len=prefix_len,
+            )
+            q.awaitTermination()
+            return time.perf_counter() - t0, _phase_batch_times(q.recentProgress)
+
+        _eA, tA = drain(rule_prefix)
+        decision = rebucket_decision(fp_path, 16 ** rule_prefix)
+        t0 = time.perf_counter()
+        ran = maybe_compact_fp_index(spark, state_dir)  # NO explicit fan-out
+        maint_sec = round(time.perf_counter() - t0, 3)
+        marker_after = read_index_layout(state_dir)
+        for c in all_chunks[NUM_CHUNKS:]:
+            shutil.move(os.path.join(hidden, c), os.path.join(replay_dir, c))
+        _eB, tB = drain(None)  # resume FROM THE MARKER
+
+        assert read_index(spark, out_dir).count() == 2 * n_docs
+
+        def mean(xs):
+            return round(sum(xs) / max(len(xs), 1), 3)
+
+        return {
+            "metric": "stream_rebucket_probe",
+            "unit": "sec_per_batch",
+            "value": mean(tB),
+            "docs_per_phase": n_docs,
+            "batches_per_phase": NUM_CHUNKS,
+            "rule": {
+                "expected_batch_docs": batch_docs,
+                "phaseA_fanout": 16 ** rule_prefix,
+                "decision": decision,
+                "maintenance_ran": ran,
+                "maintenance_sec": maint_sec,
+                "marker_after": marker_after,
+            },
+            "phaseA_oversized": {
+                "fanout": 16 ** rule_prefix,
+                "mean_batch_sec": mean(tA),
+                "batch_sec": [round(x, 3) for x in tA],
+            },
+            "phaseB_auto_rebucketed": {
+                "fanout": marker_after["doc_fanout"],
+                "mean_batch_sec": mean(tB),
+                "batch_sec": [round(x, 3) for x in tB],
+            },
+            "reference_bands": {
+                "r14_phaseA_fanout4096_mean_batch_sec": 11.076,
+                "r14_phaseC_manual_rebucket_mean_batch_sec": 1.336,
+            },
+            "sf_dir": sf_dir,
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench-stream-curation")
     spark.range(1).count()
     if "--scale-probe" in sys.argv:
         print(json.dumps(run_stream_curation_scale_probe(spark, sf_dir)))
+    elif "--rebucket-probe" in sys.argv:
+        print(json.dumps(run_stream_rebucket_probe(spark, sf_dir)))
     elif "--compaction-probe" in sys.argv:
         print(json.dumps(run_stream_compaction_probe(spark, sf_dir)))
     elif "--asymptote-probe" in sys.argv:
