@@ -475,13 +475,35 @@ def encode_for_layout(
 ) -> DataFrame:
     """Assign + PQ-encode a (vec_id, embedding, meta...) frame into the
     layout schema (vec_id, embedding, meta..., c0..c{S-1}, cell) — the
-    shared projection of the full build and the incremental append."""
+    shared projection of the full build and the incremental append.
+    Switches to the Arrow-batched numpy encoder at rule-k sizes, same as
+    the full build (see _PANDAS_ENCODE_MIN_K; bit-identical, pinned)."""
     from streaming_data_pipeline_capstone_spark.operators.similarity import (
         assign_cells,
         pq_encode_cols,
     )
 
     meta_cols = [c for c in vecs_df.columns if c not in ("vec_id", "embedding")]
+    if len(centroids) >= _PANDAS_ENCODE_MIN_K:
+        fields = (
+            ["vec_id", "embedding"]
+            + meta_cols
+            + [f"c{s}" for s in range(len(pq_books))]
+            + ["cell"]
+        )
+        base = vecs_df.select("vec_id", "embedding", *meta_cols)
+        schema = ", ".join(
+            [
+                base.schema[c].simpleString().replace(":", " ", 1)
+                for c in ["vec_id", "embedding"] + meta_cols
+            ]
+            + [f"c{s} int" for s in range(len(pq_books))]
+            + ["cell int"]
+        )
+        return base.mapInPandas(
+            _encode_batches(fields, centroids, pq_books, pq_sub_dim, 1),
+            schema=schema,
+        )
     v = F.transform("embedding", lambda x: x.cast("double"))
     return vecs_df.select(
         "vec_id",
