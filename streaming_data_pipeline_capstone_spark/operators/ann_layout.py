@@ -278,6 +278,8 @@ def _encode_batches(
 
     def fn(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             out = pdf.copy()
             for s, book in enumerate(books):

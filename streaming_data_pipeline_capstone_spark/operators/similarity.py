@@ -861,6 +861,41 @@ def assign_cells_topn(
     return F.slice(F.transform(ranked, lambda s: s["cell"].cast("int")), 1, n)
 
 
+# Above this k the O(k·dim) assign_cells Column tree falls out of
+# whole-stage codegen into interpreted per-row eval (the same cliff the
+# layout encoder hit — see ann_layout._PANDAS_ENCODE_MIN_K, which keys
+# off this constant), so the per-iteration assignment switches to an
+# Arrow-batched numpy twin: accumulation loops over the dim axis (the
+# scalar fold's operation order) and np.argmin keeps the first-minimum
+# tie-break — assignments are bit-identical (pinned in tests), so the
+# trained centroids are too.
+PANDAS_ASSIGN_MIN_K = 32
+
+
+def assign_cells_batches(centroids: list[list[float]], vec_col: str):
+    """mapInPandas twin of :func:`assign_cells`: yields (cell, vec_col)
+    batches with the identical assignment (sequential-fold distances,
+    first-min tie-break)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            acc = np.zeros((X.shape[0], C.shape[0]))
+            for d in range(C.shape[1]):
+                diff = X[:, d, None] - C[None, :, d]
+                acc = acc + diff * diff
+            out = pdf[[vec_col]].copy()
+            out.insert(0, "cell", np.argmin(acc, axis=1).astype("int32"))
+            yield out
+
+    return fn
+
+
 def lloyd_kmeans_centroids(
     vecs: DataFrame,
     k: int,
@@ -883,10 +918,19 @@ def lloyd_kmeans_centroids(
             # EXPLODED row — dim× the work (measured 1.9 s -> 0.76 s per
             # iteration at sf0.01). Materializing `cell` below the
             # Generate evaluates it once per vector.
-            assigned = vecs.select(
-                assign_cells(F.col(vec_col), centroids).alias("cell"),
-                F.col(vec_col),
-            ).select("cell", F.posexplode(vec_col).alias("idx", "x"))
+            if k >= PANDAS_ASSIGN_MIN_K:
+                assigned = vecs.select(F.col(vec_col)).mapInPandas(
+                    assign_cells_batches(centroids, vec_col),
+                    schema=f"cell int, {vec_col} array<double>",
+                )
+            else:
+                assigned = vecs.select(
+                    assign_cells(F.col(vec_col), centroids).alias("cell"),
+                    F.col(vec_col),
+                )
+            assigned = assigned.select(
+                "cell", F.posexplode(vec_col).alias("idx", "x")
+            )
             means = (
                 assigned.groupBy("cell", "idx")
                 .agg(F.round(F.avg("x"), 6).alias("val"))

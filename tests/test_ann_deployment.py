@@ -833,3 +833,48 @@ def test_pandas_encode_bit_identical_to_expression_encode(spark):
     for r in got_p:
         cells[r[0]].append(r[-1])
     assert sorted(cells[0]) == [1, 3]
+
+
+def test_lloyd_pandas_assignment_bit_identical(spark):
+    """Above PANDAS_ASSIGN_MIN_K the Lloyd loop assigns cells through the
+    Arrow-batched twin; the trained centroids must be bit-identical to a
+    reference loop using the expression assignment (same init, same
+    first-min tie-break, same 6-dp mean rounding)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_capstone_spark.operators.similarity import (
+        PANDAS_ASSIGN_MIN_K,
+        assign_cells,
+        lloyd_kmeans_centroids,
+    )
+
+    k, iters = PANDAS_ASSIGN_MIN_K, 3
+    rng = np.random.RandomState(5)
+    mat = rng.randn(300, 8).round(2)
+    mat[1] = mat[0]  # duplicate rows force assignment ties
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(len(mat))],
+        "vec_id BIGINT, v ARRAY<DOUBLE>",
+    ).persist()
+
+    got = lloyd_kmeans_centroids(vecs, k, iters)
+
+    # reference: the identical loop with the EXPRESSION assignment
+    init_rows = vecs.orderBy("vec_id").limit(k).select("v").collect()
+    cents = [[float(x) for x in r[0]] for r in init_rows]
+    for _ in range(iters):
+        assigned = vecs.select(
+            assign_cells(F.col("v"), cents).alias("cell"), F.col("v")
+        ).select("cell", F.posexplode("v").alias("idx", "x"))
+        means = (
+            assigned.groupBy("cell", "idx")
+            .agg(F.round(F.avg("x"), 6).alias("val"))
+            .collect()
+        )
+        nxt = [list(c) for c in cents]
+        for r in means:
+            nxt[r["cell"]][r["idx"]] = r["val"]
+        cents = nxt
+    vecs.unpersist()
+    assert got == cents

@@ -55,16 +55,19 @@ PQ_ITERS, KMEANS_K, KMEANS_ITERS = 3, 8, 5
 
 
 def _load(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    import duckdb
+    """(ids, matrix) sorted by vec_id — via pyarrow, so chunked corpus
+    directories read too and 2M-row corpora never box through Python
+    row objects (float32 -> float64 is exact)."""
+    import pyarrow.parquet as pq
 
-    con = duckdb.connect()
-    rows = con.sql(
-        f"SELECT vec_id, embedding::DOUBLE[] FROM "
-        f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id"
-    ).fetchall()
-    con.close()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.stack([np.array(r[1], dtype=np.float64) for r in rows])
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).sort_by("vec_id")
+    ids = t["vec_id"].to_numpy()
+    emb = t["embedding"].combine_chunks()
+    flat = emb.flatten().to_numpy(zero_copy_only=False)
+    mat = flat.astype(np.float64).reshape(len(ids), -1)
     return ids, mat
 
 

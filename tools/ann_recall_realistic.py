@@ -165,11 +165,17 @@ def main() -> None:
     cent_norms = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     codes = _encode(mat, books, DIM // PQ_SUBS)
     # per-vector cell ranking (nearest first); spill-s assignment = first
-    # s columns. Chunked so the n x k distance matrix stays bounded.
+    # s columns. Accumulate over the DIM axis (the engine fold's order,
+    # same as probe_cells_batch) so the transient is chunk x k, never
+    # chunk x k x dim — at rule-k corpora (sf100: k=2048, n=2M) the
+    # broadcast 3-tensor form would need 52 GB per chunk.
     cell_rank = np.empty((n, args.kmeans_k), dtype=np.int64)
     for lo in range(0, n, 50_000):
         hi = min(lo + 50_000, n)
-        d = ((mat[lo:hi, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d = np.zeros((hi - lo, args.kmeans_k))
+        for dim_i in range(cents.shape[1]):
+            diff = mat[lo:hi, dim_i, None] - cents[None, :, dim_i]
+            d += diff * diff
         cell_rank[lo:hi] = np.argsort(d, axis=1, kind="stable")
     spills = sorted({1, args.spill})
 
