@@ -465,8 +465,52 @@ def _build_cell_layout(
     return out
 
 
-def read_cell_layout(spark: SparkSession, layout_path: str) -> DataFrame:
-    return spark.read.parquet(layout_path)
+def read_cell_layout(
+    spark: SparkSession, layout_path: str, subs: int | None = None
+) -> DataFrame:
+    """Open a serving layout for a probe.
+
+    With ``subs`` (the serving model's sub-quantizer count) the read
+    declares the layout schema EXPLICITLY instead of inferring it —
+    schema inference on a hive-partitioned layout is a driver job that
+    lists every partition directory and reads parquet footers (measured
+    1.0 s per open at sf0.1; every probe opens the layout twice, codes
+    scan + raw fetch, so inference alone cost ~2 s per serving query).
+    The schema is fixed by the layout contract (_build_cell_layout /
+    encode_for_layout): vec_id, embedding, label (schema v2), c0..c{S-1},
+    partitioned by cell with an optional epoch sublevel (incremental /
+    streamed indexes). Epoch presence is resolved with ONE Hadoop
+    globStatus on the layout root's first level — the same bounded
+    listing convention as the streaming state indexes
+    (dedup_stream._existing_bucket_paths); remote schemes work.
+
+    Without ``subs`` this falls back to plain inference (schema-agnostic
+    callers: compaction, file tools).
+    """
+    from pyspark.sql import types as T
+
+    if subs is None:
+        return spark.read.parquet(layout_path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(layout_path)
+    fs = root.getFileSystem(conf)
+    statuses = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(f"{layout_path}/cell=*/epoch=*")
+    )
+    with_epoch = bool(statuses) and len(statuses) > 0
+    fields = [
+        T.StructField("vec_id", T.LongType(), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("label", T.IntegerType(), True),
+    ]
+    fields += [
+        T.StructField(f"c{s}", T.IntegerType(), True) for s in range(subs)
+    ]
+    fields.append(T.StructField("cell", T.IntegerType(), True))
+    if with_epoch:
+        fields.append(T.StructField("epoch", T.IntegerType(), True))
+    return spark.read.schema(T.StructType(fields)).parquet(layout_path)
 
 
 def encode_for_layout(

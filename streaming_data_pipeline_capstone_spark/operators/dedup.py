@@ -21,8 +21,11 @@ because md5 is uniform on the first bytes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from streaming_data_pipeline_capstone_spark.operators.textstats import fingerprint, word_shingles
 
@@ -59,11 +62,14 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     cores, spread it first. At real scale inputs carry far more row groups
     than cores and the repartition never fires.
     """
+    from streaming_data_pipeline_capstone_spark.operators.skew import spread_small_input
     from streaming_data_pipeline_capstone_spark.operators.textstats import shingles_from_tokens, tokens
 
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    # r15 fix: the old guard compared rdd.getNumPartitions() (byte-range
+    # SPLIT count — 32 under files.minPartitionNum even for one tiny
+    # single-row-group file whose rows all land in one split) and never
+    # fired; spread_small_input detects actual input size instead.
+    df = spread_small_input(df)
     return df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t")).select(
         "doc", shingles_from_tokens(F.col("t"), n).alias("shingles")
     )
@@ -277,11 +283,48 @@ def simhash_bits(text_col: Column | str, nibbles: int = 16) -> Column:
     return F.concat(*bits)
 
 
+# Size gate for the driver union-find fast path below: the same
+# size-switched-algorithm convention as Spark's own broadcast-join
+# threshold. 1M edges ≈ tens of MB of Python tuples — far inside the
+# driver budget; override via env for other deployments.
+_CC_DRIVER_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "1000000")
+)
+
+
+def _union_find_components(rows) -> dict:
+    """Driver union-find with min-node representatives — exact twin of the
+    distributed Hash-Min fixpoint (component = min reachable node)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps the representative = component min
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc1",
     dst: str = "doc2",
     max_iter: int = 25,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list: (node, component)
     where component = min node id reachable from it.
@@ -290,16 +333,53 @@ def connected_components(
     pairs are transitive in intent ("all versions of this document"), so
     keep-one-per-cluster requires components, not pairs.
 
-    Hash-Min propagation + pointer jumping: each round every node takes
-    the min of (its label, its neighbors' labels) and then shortcuts to
-    its label's label. Propagation alone needs O(component diameter)
-    rounds — a 1M-node duplicate chain would need 1M — while the
-    shortcut step halves chain depth, giving ~O(log n) rounds on any
-    shape. Each round is two shuffle-joins + one aggregation, all
-    executor-side; the driver only checks the converged flag (the
-    standard large-graph CC recipe on a shuffle system, cf.
-    GraphFrames/Pregel and MapReduce CC literature).
+    Two executions behind one contract, switched on the EDGE COUNT (the
+    broadcast-join-threshold convention — pick the algorithm by measured
+    size, not hope):
+
+    - ``≤ driver_max_edges`` (default 1M, env
+      ``SPARK_GRAFT_CC_DRIVER_MAX_EDGES``): one ``limit(n+1).collect()``
+      job pulls the pair list and a driver union-find labels it — the
+      verified near-dup pair set is a tiny fraction of any corpus, and
+      the distributed fixpoint below costs ~5 driver-sequential jobs PER
+      ROUND for it (measured r15: the CC loop was 29 of the curation
+      funnel's 47 build jobs at sf0.1). Components are returned as a
+      ``createDataFrame`` — small by the same bound.
+    - above the gate: Hash-Min propagation + pointer jumping, unchanged —
+      each round every node takes the min of (its label, its neighbors'
+      labels) and then shortcuts to its label's label, ~O(log n) rounds,
+      all executor-side (the standard large-graph CC recipe on a shuffle
+      system, cf. GraphFrames/Pregel and MapReduce CC literature). This
+      is the 100 TB path: a billion-edge pair list never touches the
+      driver.
+
+    Both paths produce identical labels (component = min reachable node;
+    pinned against each other in tests/test_properties.py).
     """
+    if driver_max_edges is None:
+        driver_max_edges = _CC_DRIVER_MAX_EDGES
+    if driver_max_edges > 0:
+        head = (
+            pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .limit(driver_max_edges + 1)
+            .collect()
+        )
+        if len(head) <= driver_max_edges:
+            comp = _union_find_components([(r["a"], r["b"]) for r in head])
+            spark = pairs.sparkSession
+            node_type = pairs.schema[src].dataType
+            out_schema = T.StructType(
+                [
+                    T.StructField("node", node_type, True),
+                    T.StructField("component", node_type, True),
+                ]
+            )
+            return spark.createDataFrame(
+                sorted(comp.items()), schema=out_schema
+            )
+        # over the gate: fall through to the distributed fixpoint (the
+        # head rows are discarded; this path re-reads the pair frame)
+
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))

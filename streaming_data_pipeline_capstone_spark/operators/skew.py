@@ -21,6 +21,7 @@ never the logical answer.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -90,3 +91,63 @@ def skewed_collect_list(
         partial_aggs=[F.collect_list(col).alias("__part")],
         final_aggs=[F.flatten(F.collect_list("__part")).alias(f"{col}_list")],
     )
+
+
+# -- input skew: small unsplittable files (guide §2.5 "input skew") -----------
+# The gate corpora are single-row-group parquet files: Spark's byte-range
+# splitting (spark.sql.files.minPartitionNum) produces N splits but every
+# row lands in the one split holding the row group's midpoint, so a
+# CPU-heavy chain rooted at such a scan (tokenize/shingle/JSON-codec) runs
+# on ONE core while the cluster idles. The fix the optimization guide
+# prescribes for unsplittable inputs is a repartition immediately after
+# the read — but ONLY when the input is genuinely small: the detection
+# below is bounded and scale-safe (at production file counts it returns
+# the frame untouched without a single FS call beyond the listing Spark
+# already did).
+#
+# Detection (cheap, deterministic):
+#   1. if the frame's input files >= target partitions, the scan already
+#      parallelizes — return unchanged (the 100 TB path; no RPCs);
+#   2. otherwise sum the (few) files' sizes; if they exceed max_bytes the
+#      files are big enough to carry real row-group parallelism — return
+#      unchanged rather than shuffle real data;
+#   3. only a provably tiny input (< max_bytes across < target files) is
+#      round-robin repartitioned. Shuffling < 64 MB is trivial on any
+#      deployment, and sortBeforeRepartition (Spark default) keeps the
+#      assignment deterministic under task retries.
+_SPREAD_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_MAX_BYTES", str(64 * 1024 * 1024))
+)
+
+
+def spread_small_input(
+    df: DataFrame,
+    target: int | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Repartition ``df`` to ``target`` (default: defaultParallelism) iff
+    its input files are few AND provably small — the single-row-group
+    gate-corpus case where byte-range splits cannot parallelize the scan.
+    Results are unchanged (round-robin redistribution only); at real
+    scale the guard short-circuits on file count alone."""
+    spark = df.sparkSession
+    if target is None:
+        target = spark.sparkContext.defaultParallelism
+    if max_bytes is None:
+        max_bytes = _SPREAD_MAX_BYTES
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df  # non-file-backed plans (streams, local relations)
+    if not files or len(files) >= target:
+        return df
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(conf)
+        total += fs.getFileStatus(p).getLen()
+        if total > max_bytes:
+            return df
+    return df.repartition(target)

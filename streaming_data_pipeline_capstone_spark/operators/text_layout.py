@@ -248,8 +248,17 @@ def read_postings(
             "term string, doc_id bigint, tf bigint, dl int, df bigint, "
             "lang string",
         )
+    # explicit schema (the layout contract's columns + the bkt partition
+    # key): skips parquet-footer schema inference on every probe — a
+    # driver-side job the serving path pays per query otherwise (r15;
+    # same move as ann_layout.read_cell_layout)
+    schema = (
+        "term string, doc_id bigint, tf bigint, dl int, df bigint, "
+        "lang string, bkt string"
+    )
     return (
-        spark.read.option("basePath", path)
+        spark.read.schema(schema)
+        .option("basePath", path)
         .parquet(*sub)
         .filter(F.col("term").isin(terms))
         .select("term", "doc_id", "tf", "dl", "df", "lang")

@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streaming_data_pipeline_capstone_spark.operators.skew import spread_small_input
 from streaming_data_pipeline_capstone_spark.operators.textstats import tokens
 from streaming_data_pipeline_capstone_spark.registry import register
 from streaming_data_pipeline_capstone_spark.sources.readers import read_table
@@ -125,7 +126,7 @@ def _decontam_oracle(n: int, plant: bool = False) -> str:
 
 
 def _decontam(spark: SparkSession, sf_dir: str, n: int, plant: bool = False) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_small_input(read_table(spark, sf_dir, "documents"))
     text_col = _planted_text() if plant else F.col("text")
     with_t = docs.select("doc_id", tokens(text_col).alias("t"))
     grams = with_t.select(
@@ -375,7 +376,7 @@ _MAX_DIGIT_FRAC = 0.2
     """,
 )
 def quality_filter_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_small_input(read_table(spark, sf_dir, "documents"))
     # token array projected so the three consumers below don't each
     # re-tokenize (Catalyst does not CSE across references).
     s = docs.select(
@@ -676,7 +677,7 @@ _MICRO = 1_000_000     # fixed-point scale: micro-nats end-to-end
     """,
 )
 def mixture_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_small_input(read_table(spark, sf_dir, "documents"))
     with_t = docs.select("doc_id", tokens("text").alias("t"))
     tt = F.col("t")
     # unigram+bigram OCCURRENCES (multiset — counts matter for the

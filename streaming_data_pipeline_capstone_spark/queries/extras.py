@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streaming_data_pipeline_capstone_spark.functions.geo import affine_coefficients, apply_affine
+from streaming_data_pipeline_capstone_spark.operators.ann_layout import read_cell_layout
 from streaming_data_pipeline_capstone_spark.operators.similarity import cosine
 from streaming_data_pipeline_capstone_spark.registry import register
 from streaming_data_pipeline_capstone_spark.sources.readers import read_table
@@ -1393,7 +1394,7 @@ def sim_topk_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = _query_vec(spark, sf_dir)
     probes = probe_cells_py(query, m.centroids, m.nprobe)
     qcol = F.array(*[F.lit(x) for x in query])
-    survivors = spark.read.parquet(layout).filter(F.col("cell").isin(probes))
+    survivors = read_cell_layout(spark, layout, len(m.pq_books)).filter(F.col("cell").isin(probes))
     scored = survivors.select(
         "vec_id",
         F.round(
@@ -1433,7 +1434,7 @@ def sim_topk_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = _query_vec(spark, sf_dir)
     probes = probe_cells_py(query, m.centroids, m.nprobe)
     codes = [F.col(f"c{s}") for s in range(len(m.pq_books))]
-    survivors = spark.read.parquet(layout).filter(F.col("cell").isin(probes))
+    survivors = read_cell_layout(spark, layout, len(m.pq_books)).filter(F.col("cell").isin(probes))
     scored = survivors.select(
         "vec_id",
         F.round(pq_adc_score(codes, query, m.pq_books, m.pq_sub_dim), 6).alias(
@@ -1622,7 +1623,7 @@ def _pruned_rerank_topk_at(
     query = _query_vec(spark, sf_dir)
     probes = probe_cells_py(query, m.centroids, m.nprobe)
     codes = [F.col(f"c{s}") for s in range(len(m.pq_books))]
-    surv_codes = spark.read.parquet(layout).filter(F.col("cell").isin(probes))
+    surv_codes = read_cell_layout(spark, layout, len(m.pq_books)).filter(F.col("cell").isin(probes))
     short = (
         surv_codes.select(
             "vec_id",
@@ -1641,7 +1642,7 @@ def _pruned_rerank_topk_at(
         ).limit(_RERANK)
     qcol = F.array(*[F.lit(x) for x in query])
     raw = (
-        spark.read.parquet(layout)
+        read_cell_layout(spark, layout, len(m.pq_books))
         .filter(F.col("cell").isin(probes))
         .select("vec_id", "embedding")
     )
@@ -1757,7 +1758,7 @@ def sim_topk_ivfpq_rerank_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe = m.nprobe if m.tag is not None else _SPILL_NPROBE
     probes = probe_cells_py(query, m.centroids, nprobe)
     codes = [F.col(f"c{s}") for s in range(len(m.pq_books))]
-    surv_codes = spark.read.parquet(layout).filter(F.col("cell").isin(probes))
+    surv_codes = read_cell_layout(spark, layout, len(m.pq_books)).filter(F.col("cell").isin(probes))
     scored = surv_codes.select(
         "vec_id",
         F.round(pq_adc_score(codes, query, m.pq_books, m.pq_sub_dim), 6).alias(
@@ -1775,7 +1776,7 @@ def sim_topk_ivfpq_rerank_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qcol = F.array(*[F.lit(x) for x in query])
     raw = (
-        spark.read.parquet(layout)
+        read_cell_layout(spark, layout, len(m.pq_books))
         .filter(F.col("cell").isin(probes))
         .select("vec_id", "embedding")
         .join(F.broadcast(short.select("vec_id")), "vec_id")
@@ -1814,6 +1815,7 @@ def _rrf_ann_oracle() -> str:
         _RRF_K,
         _TOPK,
         _bm25_ctes,
+        _rrf_fuse,
     )
 
     ctes = [
@@ -1885,6 +1887,7 @@ def retrieval_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RRF_K,
         _TOPK,
         _bm25_scores,
+        _rrf_fuse,
     )
 
     dense_cand = _pruned_rerank_topk(spark, sf_dir, _CAND).withColumnRenamed(
@@ -1909,7 +1912,7 @@ def retrieval_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rr = lambda r: F.round(F.lit(float(_MICRO)) / (_RRF_K + r)).cast("bigint")  # noqa: E731
     return (
-        dense.join(sparse, "id", "full_outer")
+        _rrf_fuse(dense, sparse, ["id"])
         .select(
             "id",
             "r_dense",
@@ -2090,7 +2093,7 @@ def multi_topk_ivfpq(
     filtering = bool(labels)
     union_labels = sorted({v for v in labels.values() if v is not None}) if labels else []
     codes = [F.col(f"c{s}") for s in range(len(m.pq_books))]
-    scan = spark.read.parquet(layout).filter(F.col("cell").isin(union_cells))
+    scan = read_cell_layout(spark, layout, len(m.pq_books)).filter(F.col("cell").isin(union_cells))
     # gate on every query actually carrying a label (ADVICE r14: two
     # queries sharing a label shrink the de-duplicated union set, and a
     # set/dict LENGTH comparison would silently disable the row-group
@@ -2137,14 +2140,19 @@ def multi_topk_ivfpq(
     short = short.select("query_id", "vec_id")
     raw_cols = ["vec_id"] + (["label"] if filtering else [])
     raw = (
-        spark.read.parquet(layout)
+        read_cell_layout(spark, layout, len(m.pq_books))
         .filter(F.col("cell").isin(union_cells))
         .select(
             *raw_cols,
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
-        .dropDuplicates(["vec_id"])
     )
+    if m.spill > 1:
+        # only a spilled layout stores a vector in several cells; a
+        # spill-1 layout is vec_id-unique by construction, so the dedup
+        # exchange would shuffle the raw fetch for nothing (r15: one
+        # Exchange removed from every spill-1 batched probe)
+        raw = raw.dropDuplicates(["vec_id"])
     rer = (
         raw.join(F.broadcast(short), "vec_id")
         .join(F.broadcast(qmeta.select("query_id", "qv")), "query_id")
@@ -2256,7 +2264,7 @@ def sim_topk_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = probe_cells_py(query, m.centroids, m.nprobe)
     codes = [F.col(f"c{s}") for s in range(len(m.pq_books))]
     surv = (
-        spark.read.parquet(layout)
+        read_cell_layout(spark, layout, len(m.pq_books))
         .filter(F.col("cell").isin(probes))
         .filter(F.col("label") == _FILTER_LABEL)
     )
@@ -2278,7 +2286,7 @@ def sim_topk_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     qcol = F.array(*[F.lit(x) for x in query])
     raw = (
-        spark.read.parquet(layout)
+        read_cell_layout(spark, layout, len(m.pq_books))
         .filter(F.col("cell").isin(probes))
         .filter(F.col("label") == _FILTER_LABEL)
         .select("vec_id", "label", "embedding")
@@ -2419,6 +2427,7 @@ def _rrf_multi_oracle() -> str:
         _TOPK,
         _bm25_ctes,
         _multi_terms,
+        _rrf_fuse,
     )
 
     assert _MULTI_QUERIES[0] == _QUERY_TERMS  # qid=0 is the standing query
@@ -2538,6 +2547,7 @@ def retrieval_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bm25_base,
         _c_micro,
         _multi_terms,
+        _rrf_fuse,
     )
 
     dense = multi_topk_ivfpq(spark, sf_dir, _MULTI_QIDS, k=_CAND).select(
@@ -2568,7 +2578,7 @@ def retrieval_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("doc_id").alias("id"), "r_sparse")
     )
     rr = lambda r: F.round(F.lit(float(_MICRO)) / (_RRF_K + r)).cast("bigint")  # noqa: E731
-    fused = dense.join(sparse, ["query_id", "id"], "full_outer").select(
+    fused = _rrf_fuse(dense, sparse, ["query_id", "id"]).select(
         "query_id",
         "id",
         "r_dense",
@@ -2613,6 +2623,7 @@ def retrieval_hybrid_rrf_multi_streamed(
         _TOPK,
         _c_micro,
         _multi_terms,
+        _rrf_fuse,
         _streamed_text_index,
     )
     from streaming_data_pipeline_capstone_spark.streaming.text_index_stream import (
@@ -2652,7 +2663,7 @@ def retrieval_hybrid_rrf_multi_streamed(
         .select("query_id", F.col("doc_id").alias("id"), "r_sparse")
     )
     rr = lambda r: F.round(F.lit(float(_MICRO)) / (_RRF_K + r)).cast("bigint")  # noqa: E731
-    fused = dense.join(sparse, ["query_id", "id"], "full_outer").select(
+    fused = _rrf_fuse(dense, sparse, ["query_id", "id"]).select(
         "query_id",
         "id",
         "r_dense",
@@ -2848,6 +2859,7 @@ def _rrf_multi_filtered_oracle() -> str:
         _TOPK,
         _bm25_ctes,
         _multi_terms,
+        _rrf_fuse,
     )
 
     ctes = [
@@ -2978,6 +2990,7 @@ def retrieval_hybrid_rrf_multi_filtered(
         _bm25_base,
         _c_micro,
         _multi_terms,
+        _rrf_fuse,
     )
 
     dense = multi_topk_ivfpq(
@@ -3012,7 +3025,7 @@ def retrieval_hybrid_rrf_multi_filtered(
         .select("query_id", F.col("doc_id").alias("id"), "r_sparse")
     )
     rr = lambda r: F.round(F.lit(float(_MICRO)) / (_RRF_K + r)).cast("bigint")  # noqa: E731
-    fused = dense.join(sparse, ["query_id", "id"], "full_outer").select(
+    fused = _rrf_fuse(dense, sparse, ["query_id", "id"]).select(
         "query_id",
         "id",
         "r_dense",

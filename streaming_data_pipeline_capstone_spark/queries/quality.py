@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streaming_data_pipeline_capstone_spark.operators.skew import spread_small_input
 from streaming_data_pipeline_capstone_spark.operators.textstats import tokens
 from streaming_data_pipeline_capstone_spark.plans.train import (
     dot_expr,
@@ -102,7 +103,10 @@ _MIN_STOPWORD_FRAC = 0.02
     """,
 )
 def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    # spread_small_input: the tokenize/explode below runs in the scan
+    # stage; a single-row-group gate file would serialize it (guide §2.5
+    # input skew — no-op at real file counts).
+    docs = spread_small_input(read_table(spark, sf_dir, "documents"))
     # token array projected into its own column: it is referenced three
     # times below and Catalyst's CollapseProject would otherwise inline
     # (and re-evaluate) the split per reference.
@@ -418,7 +422,14 @@ _QC_TRAIN_CTES = f"""d AS (
     """,
 )
 def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    j = _qc_labeled_frame(spark, sf_dir)
+    from streaming_data_pipeline_capstone_spark.cache import scoped_persist
+
+    # One materialization of the labeled frame serves BOTH halves: the
+    # IRLS trainer's aggregation jobs (its own persist of the train split
+    # populates through this cache) and the held-out scoring pass — the
+    # gopher-label join chain previously re-ran for the holdout at
+    # action time (r15; scoped: released when the next query builds).
+    j = scoped_persist(_qc_labeled_frame(spark, sf_dir))
     holdout = F.col("doc_id") % _QC_HOLDOUT_MOD == _QC_HOLDOUT_MOD - 1
     beta = fit_logistic_irls(j.filter(~holdout), _QC_FEATURES, "y", _QC_ITERS)
     return score_quality(j.filter(holdout), beta).select(

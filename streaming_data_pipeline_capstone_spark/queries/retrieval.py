@@ -234,6 +234,31 @@ _RRF_K = 60      # Cormack et al.'s published constant
 _CAND = 50       # per-list candidate depth feeding the fusion
 
 
+def _rrf_fuse(dense, sparse, keys: list[str]):
+    """Align the two ranked lists on ``keys`` -> (*keys, r_dense,
+    r_sparse) with nulls where a list lacks the id — the RRF fusion's
+    alignment step, as a union + one-exchange group-by instead of a
+    full-outer join (r15: a full outer cannot broadcast, so it cost TWO
+    exchanges plus two sorts for ≤ 2·_CAND rows per query; ids are
+    unique within each list, so max() over the union recovers exactly
+    the outer join's row set — same rows, same nulls, pinned by the
+    unchanged oracles)."""
+    d = dense.select(
+        *keys, "r_dense", F.lit(None).cast("bigint").alias("r_sparse")
+    )
+    s = sparse.select(
+        *keys, F.lit(None).cast("bigint").alias("r_dense"), "r_sparse"
+    )
+    return (
+        d.unionByName(s)
+        .groupBy(*keys)
+        .agg(
+            F.max("r_dense").alias("r_dense"),
+            F.max("r_sparse").alias("r_sparse"),
+        )
+    )
+
+
 def _rrf_oracle() -> str:
     return f"""
     WITH {_bm25_ctes(_QUERY_TERMS)},
@@ -302,7 +327,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rr = lambda r: F.round(F.lit(float(_MICRO)) / (_RRF_K + r)).cast("bigint")  # noqa: E731
     return (
-        dense.join(sparse, "id", "full_outer")
+        _rrf_fuse(dense, sparse, ["id"])
         .select(
             "id",
             "r_dense",

@@ -82,9 +82,21 @@ def decode_json_envelope(df: DataFrame, schema: T.StructType, value_col: str = "
     CAST(value AS STRING) → from_json(schema) → flatten.  Malformed records
     degrade to nulls (from_json PERMISSIVE), matching observed reference
     behavior (nulls in images/preprocessed_streaming_set.PNG).
+
+    The flatten goes through ``inline(array(parsed))`` — a Generate — rather
+    than ``select("message.*")``. A plain struct-field select lets the
+    optimizer split the parse into one pruned ``from_json`` PER FIELD and
+    then substitute that copy into every downstream predicate/projection
+    (pipeline_preprocess_full's plan carried 22 ``from_json`` nodes, each
+    re-evaluating the full upstream value expression). Generate is an
+    optimizer barrier for its child expression, so the value string is
+    parsed exactly ONCE per row; null/malformed handling is unchanged
+    (``inline(array(x))`` emits one all-null row for a null struct, the
+    same as flattening it — pinned in tests/test_preprocess.py). Measured
+    at sf0.1: the preprocess chain 2.36 s → 1.37 s with identical output.
     """
-    msg = F.from_json(F.col(value_col).cast("string"), schema).alias("message")
-    return df.select(msg).select("message.*")
+    msg = F.from_json(F.col(value_col).cast("string"), schema)
+    return df.select(F.inline(F.array(msg)))
 
 
 def encode_json_envelope(df: DataFrame) -> DataFrame:

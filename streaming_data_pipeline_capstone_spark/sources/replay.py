@@ -115,9 +115,14 @@ def ais_wire_from_events(
 
     # a real position_history topic has many partitions; the testdata
     # parquet is one row group → spread the CPU-bound JSON codec chain
-    target = events.sparkSession.sparkContext.defaultParallelism
-    if events.rdd.getNumPartitions() < target:
-        events = events.repartition(target)
+    # (r15 fix: the old rdd.getNumPartitions() guard counted byte-range
+    # splits — 32 even when every row sits in one split — so it never
+    # fired; spread_small_input detects actual input size)
+    from streaming_data_pipeline_capstone_spark.operators.skew import (
+        spread_small_input,
+    )
+
+    events = spread_small_input(events)
 
     lon = F.lit(lon_base) + (F.col("user_id") % lon_mod).cast("double") + F.lit(0.25)
     lat = F.lit(lat_base) + (F.col("event_id") % lat_mod).cast("double") + F.lit(0.5)

@@ -251,8 +251,13 @@ def bm25_base_from_stream_index(
 
     prefix_len = int(read_index_layout(index_dir)["bh_prefix_len"])
 
+    # explicit schemas on both reads (r15): parquet-footer schema
+    # inference over the epoch directories is a per-probe driver job the
+    # serving path otherwise pays twice (stats + postings) per query —
+    # the columns are the ingest contract's, pinned by the layout marker
     stats = (
-        spark.read.parquet(os.path.join(index_dir, "stats"))
+        spark.read.schema("n_docs bigint, sum_dl bigint, epoch int")
+        .parquet(os.path.join(index_dir, "stats"))
         .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
         .first()
     )
@@ -265,7 +270,11 @@ def bm25_base_from_stream_index(
     if not sub:
         return None
     post = (
-        spark.read.option("basePath", post_root)
+        spark.read.schema(
+            "term string, doc_id bigint, tf bigint, dl int, lang string, "
+            "bkt string, epoch int"
+        )
+        .option("basePath", post_root)
         .parquet(*sub)
         .filter(F.col("term").isin(terms))
         .select("term", "doc_id", "tf", "dl", "lang")

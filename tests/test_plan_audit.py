@@ -264,7 +264,18 @@ MUST_PUSH_FILTER = {
     "join_semi_high_value",
     "join_topk_orders",
     "pipeline_predict_trained",  # holdout predicate pushes through the window
-    "pipeline_preprocess_full",
+    # "pipeline_preprocess_full" REMOVED r15: the scan-level pushdown it
+    # pinned was a pathology, not a win — Catalyst pushed the clean-filter
+    # predicates below the wire-format decode by substituting the ENTIRE
+    # to_json→from_json chain into each one (5 extra parse+encode copies
+    # per row, all evaluated in the single-core scan stage; see
+    # plans/r15/pipeline_preprocess_full_before.txt Filter(2)). The r15
+    # Generate barrier in schemas.decode_json_envelope makes the wire
+    # value parse exactly ONCE; the filter still runs, post-parse
+    # (plans/r15/..._after.txt Filter(6)), measured 2.36s → 1.37s with
+    # identical output. Nothing prunable is lost: every predicate is over
+    # values derived from the full row, so parquet row-group pruning was
+    # never in play.
     "quality_lm_perplexity",  # IsNotNull(text) reaches every documents scan
     "quality_lm_ppl_buckets",
     "corpus_health_lm_by_source",

@@ -359,13 +359,45 @@ def test_connected_components_match_union_find(spark, raw_edges):
 
 def test_connected_components_long_chain_converges(spark):
     """A 60-node path: min-propagation alone needs ~60 rounds; pointer
-    jumping must converge well inside max_iter=25."""
+    jumping must converge well inside max_iter=25. driver_max_edges=0
+    forces the DISTRIBUTED fixpoint (the default size gate would solve a
+    60-edge graph on the driver)."""
     from streaming_data_pipeline_capstone_spark.operators.dedup import connected_components
 
     chain = [(i, i + 1) for i in range(60)]
     df = spark.createDataFrame(chain, "doc1 long, doc2 long")
-    got = {r["node"]: r["component"] for r in connected_components(df, max_iter=25).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=25, driver_max_edges=0).collect()
+    }
     assert got == {i: 0 for i in range(61)}
+
+
+def test_connected_components_driver_gate_paths_identical(spark):
+    """r15 optimization pin: the driver union-find fast path (edge count
+    under the gate) and the distributed Hash-Min fixpoint label every node
+    identically — component = min reachable node, same rows, same types."""
+    from streaming_data_pipeline_capstone_spark.operators.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(0, 8)]          # a chain
+        + [(20, 21), (21, 22), (22, 20)]           # a cycle
+        + [(30, 31)]                               # an isolated pair
+        + [(41, 40), (40, 42)]                     # reversed-order edges
+    )
+    df = spark.createDataFrame(edges, "doc1 long, doc2 long")
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()  # default gate: driver path
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    assert fast == dist
+    # over-the-gate edge counts fall through to the distributed path
+    over = connected_components(df, driver_max_edges=3)
+    assert {(r["node"], r["component"]) for r in over.collect()} == fast
 
 
 def test_connected_components_string_ids(spark):
