@@ -338,12 +338,17 @@ def connected_components(
     size, not hope):
 
     - ``≤ driver_max_edges`` (default 1M, env
-      ``SPARK_GRAFT_CC_DRIVER_MAX_EDGES``): one ``limit(n+1).collect()``
-      job pulls the pair list and a driver union-find labels it — the
-      verified near-dup pair set is a tiny fraction of any corpus, and
-      the distributed fixpoint below costs ~5 driver-sequential jobs PER
-      ROUND for it (measured r15: the CC loop was 29 of the curation
-      funnel's 47 build jobs at sf0.1). Components are returned as a
+      ``SPARK_GRAFT_CC_DRIVER_MAX_EDGES``): persist the pair list, count
+      it (ONE fully-parallel execution of the pair chain), and collect
+      from cache for a driver union-find — the verified near-dup pair
+      set is a tiny fraction of any corpus, and the distributed fixpoint
+      below costs ~5 driver-sequential jobs PER ROUND for it (measured
+      r15: the CC loop was 29 of the curation funnel's 47 build jobs at
+      sf0.1). The gate is a ``count`` rather than ``limit(n+1).collect()``
+      because ``collect``-after-``limit`` goes through ``executeTake``'s
+      incremental partition escalation, re-running the pair chain's
+      result stage per escalation round (measured: 13 sequential driver
+      jobs for a 25-edge list). Components are returned as a
       ``createDataFrame`` — small by the same bound.
     - above the gate: Hash-Min propagation + pointer jumping, unchanged —
       each round every node takes the min of (its label, its neighbors'
@@ -358,13 +363,14 @@ def connected_components(
     """
     if driver_max_edges is None:
         driver_max_edges = _CC_DRIVER_MAX_EDGES
+    sel = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    gated_cache = None
     if driver_max_edges > 0:
-        head = (
-            pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-            .limit(driver_max_edges + 1)
-            .collect()
-        )
-        if len(head) <= driver_max_edges:
+        gated_cache = sel.persist()
+        n_edges = gated_cache.count()
+        if n_edges <= driver_max_edges:
+            head = gated_cache.collect()
+            gated_cache.unpersist()
             comp = _union_find_components([(r["a"], r["b"]) for r in head])
             spark = pairs.sparkSession
             node_type = pairs.schema[src].dataType
@@ -377,13 +383,17 @@ def connected_components(
             return spark.createDataFrame(
                 sorted(comp.items()), schema=out_schema
             )
-        # over the gate: fall through to the distributed fixpoint (the
-        # head rows are discarded; this path re-reads the pair frame)
+        # over the gate: the cached pair list feeds the distributed
+        # fixpoint below (one chain execution either way); it is released
+        # as soon as the doubled edge cache is materialized from it.
+        sel = gated_cache
 
-    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    edges = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    edges = sel.unionByName(
+        sel.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().persist()
+    if gated_cache is not None:
+        edges.count()  # materialize from the pair cache, then free it
+        gated_cache.unpersist()
 
     # localCheckpoint (not persist): iterative plans otherwise grow by one
     # join-tree per round and re-analysis dominates after ~5 rounds. On a

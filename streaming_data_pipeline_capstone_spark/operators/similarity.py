@@ -59,7 +59,7 @@ def cosine_topk(
     uses the rounded score with the id as tiebreak so ranking is
     deterministic at float noise level.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     scored = corpus.select(
         F.col(id_col),
         F.round(cosine(_as_double(vec_col), q), 6).alias("cosine_sim"),
@@ -169,7 +169,7 @@ def hyperplane_signature(
         # dot() is the same left-to-right zip_with/aggregate fold per
         # plane, and array_join of the per-plane bit chars equals the
         # previous concat().
-        mat = F.array(*[F.lit([float(x) for x in p]) for p in planes])
+        mat = lit_double_matrix(planes)
         dots = F.transform(mat, lambda pl: dot(v, pl))
         return F.array_join(
             F.transform(dots, lambda d: F.when(d > 0, F.lit("1")).otherwise(F.lit("0"))),
@@ -792,11 +792,38 @@ def cell_blocked_pairs(
 # and only k×dim tiny rows (model metadata, not data) reach the driver.
 
 
+def lit_double_array(vals) -> Column:
+    """``array<double>`` literal built in ONE py4j round-trip.
+
+    ``F.lit(list)`` makes a JVM call per element (plus the CreateArray),
+    which at model sizes (k x dim centroid books, subs x pq_k ADC tables)
+    turns every probe build into seconds of driver<->JVM chatter —
+    measured 2.5 s / 10,811 round-trips for one pruned-probe build
+    (guide §5: the driver should do almost no work). A single parsed
+    ``array(CAST('<repr>' AS DOUBLE), ...)`` string is one call; the
+    string->double cast is correctly rounded, so values are bit-identical
+    to the per-element literals (repr round-trips IEEE doubles), and the
+    optimizer constant-folds the array to the same Literal either way.
+    """
+    body = ",".join("CAST('%s' AS DOUBLE)" % repr(float(v)) for v in vals)
+    return F.expr("array(" + body + ")")
+
+
+def lit_double_matrix(rows) -> Column:
+    """``array<array<double>>`` literal in ONE py4j round-trip (see
+    :func:`lit_double_array`)."""
+    body = ",".join(
+        "array(" + ",".join("CAST('%s' AS DOUBLE)" % repr(float(v)) for v in row) + ")"
+        for row in rows
+    )
+    return F.expr("array(" + body + ")")
+
+
 def _sq_dist_to(vec_col: Column, centroid: list[float]) -> Column:
     # one array Literal, not a dim-wide CreateArray of scalar literals:
     # assign_cells is rebuilt every Lloyd iteration, so plan-construction
     # cost scales with iters*k*dim unless centroids enter as single nodes
-    lit = F.lit([float(x) for x in centroid])
+    lit = lit_double_array(centroid)
     return F.aggregate(
         F.zip_with(vec_col, lit, lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
@@ -815,7 +842,7 @@ def assign_cells(vec_col: Column, centroids: list[list[float]]) -> Column:
     array_position keep the first-minimum tie-break — verified
     bit-identical assignments against the per-centroid form.
     """
-    books = F.array(*[F.lit([float(x) for x in c]) for c in centroids])
+    books = lit_double_matrix(centroids)
     dists = F.transform(
         books,
         lambda c: F.aggregate(
@@ -847,7 +874,7 @@ def assign_cells_topn(
     struct ordering sorts (dist asc, cell asc), so element 1 is
     bit-identical to ``assign_cells``'s first-minimum choice.
     """
-    books = F.array(*[F.lit([float(x) for x in c]) for c in centroids])
+    books = lit_double_matrix(centroids)
     dists = F.transform(
         books,
         lambda c: F.aggregate(
@@ -1059,7 +1086,7 @@ def pq_adc_score(
     total = F.lit(0.0)
     for s, table in enumerate(pq_adc_tables(query, books, sub_dim)):
         total = total + F.element_at(
-            F.lit(table), code_cols[s].cast("int") + 1
+            lit_double_array(table), code_cols[s].cast("int") + 1
         )
     return total
 

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from streaming_data_pipeline_capstone_spark.functions.geo import affine_coefficients, apply_affine
 from streaming_data_pipeline_capstone_spark.operators.ann_layout import read_cell_layout
-from streaming_data_pipeline_capstone_spark.operators.similarity import cosine
+from streaming_data_pipeline_capstone_spark.operators.similarity import cosine, lit_double_array
 from streaming_data_pipeline_capstone_spark.registry import register
 from streaming_data_pipeline_capstone_spark.sources.readers import read_table
 
@@ -1245,7 +1245,7 @@ def sim_topk_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(KMEANS_CENTROIDS)], "cell int, cv array<double>"
     )
-    qcol = F.array(*[F.lit(x) for x in query])
+    qcol = lit_double_array(query)
     probe_cells = (
         centroids_df.select("cell", cosine(F.col("cv"), qcol).alias("csim"))
         .orderBy(F.desc("csim"), F.asc("cell"))
@@ -1393,7 +1393,7 @@ def sim_topk_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout = _serving_layout(spark, sf_dir)
     query = _query_vec(spark, sf_dir)
     probes = probe_cells_py(query, m.centroids, m.nprobe)
-    qcol = F.array(*[F.lit(x) for x in query])
+    qcol = lit_double_array(query)
     survivors = read_cell_layout(spark, layout, len(m.pq_books)).filter(F.col("cell").isin(probes))
     scored = survivors.select(
         "vec_id",
@@ -1572,7 +1572,7 @@ def sim_pq_topk_rerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(_RERANK)
     )
-    qcol = F.array(*[F.lit(x) for x in query])
+    qcol = lit_double_array(query)
     rer = vecs.join(F.broadcast(short.select("vec_id")), "vec_id")
     return (
         rer.select(
@@ -1640,7 +1640,7 @@ def _pruned_rerank_topk_at(
         short = short.dropDuplicates(["vec_id"]).orderBy(
             F.asc("adc_dist"), F.asc("vec_id")
         ).limit(_RERANK)
-    qcol = F.array(*[F.lit(x) for x in query])
+    qcol = lit_double_array(query)
     raw = (
         read_cell_layout(spark, layout, len(m.pq_books))
         .filter(F.col("cell").isin(probes))
@@ -1774,7 +1774,7 @@ def sim_topk_ivfpq_rerank_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(_RERANK)
     )
-    qcol = F.array(*[F.lit(x) for x in query])
+    qcol = lit_double_array(query)
     raw = (
         read_cell_layout(spark, layout, len(m.pq_books))
         .filter(F.col("cell").isin(probes))
@@ -2284,7 +2284,7 @@ def sim_topk_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
             .limit(_RERANK)
         )
-    qcol = F.array(*[F.lit(x) for x in query])
+    qcol = lit_double_array(query)
     raw = (
         read_cell_layout(spark, layout, len(m.pq_books))
         .filter(F.col("cell").isin(probes))

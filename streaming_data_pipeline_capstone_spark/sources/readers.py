@@ -27,13 +27,27 @@ from streaming_data_pipeline_capstone_spark.schemas import TESTDATA_TABLES
 NS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+# Per-path physical-schema memo: the testdata tables are immutable for a
+# session's lifetime, but every bare spark.read.parquet(path) re-infers the
+# schema — a driver-blocking footer-read job per open (guide §5/§6). First
+# open infers and records the schema; later opens declare it. Metadata only
+# (never rows); keyed on the resolved path so distinct sf dirs stay distinct.
+_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (parquet). Column pruning and filter
     pushdown reach the scan because this stays a plain parquet relation."""
     ns_cols = NS_TIMESTAMP_COLS.get(name, ())
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
     for c in ns_cols:
         # Type-adaptive: the driver's testdata stores these as
         # TIMESTAMP(NANOS) (surfaces as long under nanosAsLong); rewritten
