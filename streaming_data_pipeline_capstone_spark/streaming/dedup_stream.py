@@ -125,6 +125,11 @@ def check_or_write_index_layout(
         json.dump(want, fh)
 
 
+# Per-index-path schema memo for read_index (see its docstring). Keyed on
+# the index path; schemas are metadata fixed at index creation, never rows.
+_INDEX_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def read_index_layout(index_dir: str) -> dict:
     """The pinned layout marker of a state index — the single source of
     truth for bucket fan-outs at PROBE time (ADVICE r14: a probe that
@@ -291,13 +296,26 @@ def read_index(
     callers already treat a read failure as "no old state for this
     batch", which is exactly the semantics.
     """
+    # Per-index schema memo: an index's column set is fixed at creation
+    # (the layout marker pins its config), but a bare read re-infers the
+    # schema from footers EVERY micro-batch — a driver-blocking job per
+    # open (guide §5; same fix as ann_layout.read_cell_layout). First
+    # open infers and records; later opens declare it. Declaring the
+    # partition columns also pins their types across batches (inference
+    # re-derives them from whichever bucket values happen to be listed).
+    cached = _INDEX_SCHEMA_CACHE.get(path)
+    reader = spark.read
+    if cached is not None:
+        reader = reader.schema(cached)
     if buckets is not None:
         sub = _existing_bucket_paths(spark, path, buckets)
         if not sub:
             raise FileNotFoundError(f"no probed buckets under {path}")
-        df = spark.read.option("basePath", path).parquet(*sub)
+        df = reader.option("basePath", path).parquet(*sub)
     else:
-        df = spark.read.parquet(path)
+        df = reader.parquet(path)
+    if cached is None:
+        _INDEX_SCHEMA_CACHE[path] = df.schema
     if exclude_epoch is not None:
         df = df.filter(F.col("epoch") != int(exclude_epoch))
     return df.drop("epoch", "bkt")
