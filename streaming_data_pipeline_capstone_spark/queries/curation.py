@@ -126,7 +126,11 @@ def _decontam_oracle(n: int, plant: bool = False) -> str:
 
 
 def _decontam(spark: SparkSession, sf_dir: str, n: int, plant: bool = False) -> DataFrame:
-    docs = spread_small_input(read_table(spark, sf_dir, "documents"))
+    # NO spread_small_input here (r15 A/B): BOTH join sides (eval grams +
+    # corpus grams) root at this frame, so the round-robin exchange (and
+    # its sortBeforeRepartition) is evaluated twice — measured
+    # decontam_ngram_overlap 1.70 s spread vs 1.23 s unspread at sf0.1.
+    docs = read_table(spark, sf_dir, "documents")
     text_col = _planted_text() if plant else F.col("text")
     with_t = docs.select("doc_id", tokens(text_col).alias("t"))
     grams = with_t.select(

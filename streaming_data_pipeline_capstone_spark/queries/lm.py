@@ -58,7 +58,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from streaming_data_pipeline_capstone_spark.operators.skew import spread_small_input
 from streaming_data_pipeline_capstone_spark.operators.textstats import tokens
 from streaming_data_pipeline_capstone_spark.queries.curation import _EVAL_MOD
 from streaming_data_pipeline_capstone_spark.registry import register
@@ -77,10 +76,13 @@ def _grams_df(
     ``source`` for per-source rollups — riding the existing doc-keyed
     frames costs nothing, a separate doc→source join would be one more
     corpus-sized exchange)."""
-    # spread_small_input: five consumers (3 count tables, types, occ)
-    # each root a tokenize/explode in this scan's stage — a single-row-
-    # group gate file would run all five single-core (guide §2.5).
-    docs = spread_small_input(read_table(spark, sf_dir, "documents"))
+    # NO spread_small_input here (r15 A/B): the same five consumers that
+    # motivated spreading each RE-EVALUATE this frame, so each re-pays the
+    # round-robin exchange + its sortBeforeRepartition — measured
+    # corpus_health_lm_by_source 5.4 s spread vs 2.9 s unspread and
+    # quality_lm_perplexity 1.65 vs 1.40 at sf0.1. The partial aggs that
+    # follow each explode collapse rows before any shuffle either way.
+    docs = read_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         *extra,

@@ -50,7 +50,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streaming_data_pipeline_capstone_spark.cache import scoped_persist
-from streaming_data_pipeline_capstone_spark.operators.skew import spread_small_input
 from streaming_data_pipeline_capstone_spark.operators.textstats import tokens
 from streaming_data_pipeline_capstone_spark.registry import register
 from streaming_data_pipeline_capstone_spark.sources.readers import read_table
@@ -62,9 +61,13 @@ _EOW = "</w>"  # end-of-word marker symbol (Sennrich's convention)
 def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(word, cnt) over the whitespace-tokenized corpus — the ONE
     corpus-sized exchange in BPE training."""
-    docs = spread_small_input(
-        read_table(spark, sf_dir, "documents").select("text")
-    ).select(tokens("text").alias("t"))
+    # NO spread_small_input here (r15 A/B): the word-count frame is
+    # re-evaluated by the trainer's merge rounds, so every round re-pays
+    # the round-robin exchange (plus its sortBeforeRepartition) — measured
+    # tokenizer_bpe_encode 3.58 s spread vs 3.12 s unspread at sf0.1.
+    docs = read_table(spark, sf_dir, "documents").select("text").select(
+        tokens("text").alias("t")
+    )
     return (
         docs.select(F.explode("t").alias("word"))
         .groupBy("word")
