@@ -69,6 +69,17 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # PySpark's DataFrame-debugging origin capture (default ON) makes
+        # EVERY wrapped DataFrame/Column API call pay a conf.get py4j
+        # round-trip plus a JVM origin set/clear — pure Python-driver
+        # overhead in any deployment, measured 2-3x of the serving-probe
+        # build walls (sim_topk_ivfpq_filtered build 1.76 → 0.69 s). It
+        # only enriches error messages with Python call sites; re-enable
+        # via env when debugging.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"),
+        )
     )
     # Large streaming state (per-key state at 100M+ keys) wants RocksDB
     # instead of the default in-heap HDFS-backed provider: incremental
