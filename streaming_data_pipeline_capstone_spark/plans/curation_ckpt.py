@@ -76,7 +76,7 @@ def checkpoint_stage_verdicts(
     quality_filter_composite(spark, sf_dir).filter("keep").select(
         "doc_id"
     ).write.mode("overwrite").parquet(paths["quality_keep"])
-    _decontam(spark, sf_dir, _DECON_N_W8, plant=plant).select("doc_id").write.mode(
+    _decontam(spark, sf_dir, _DECON_N_W8, plant=plant, spread=True).select("doc_id").write.mode(
         "overwrite"
     ).parquet(paths["contaminated"])
 

@@ -125,12 +125,24 @@ def _decontam_oracle(n: int, plant: bool = False) -> str:
     """
 
 
-def _decontam(spark: SparkSession, sf_dir: str, n: int, plant: bool = False) -> DataFrame:
-    # NO spread_small_input here (r15 A/B): BOTH join sides (eval grams +
-    # corpus grams) root at this frame, so the round-robin exchange (and
-    # its sortBeforeRepartition) is evaluated twice — measured
-    # decontam_ngram_overlap 1.70 s spread vs 1.23 s unspread at sf0.1.
+def _decontam(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int,
+    plant: bool = False,
+    spread: bool = False,
+) -> DataFrame:
+    # spread defaults OFF (r15 A/B): standalone, BOTH join sides (eval
+    # grams + corpus grams) re-evaluate this frame, so the round-robin
+    # exchange (and its sortBeforeRepartition) is paid twice — measured
+    # decontam_ngram_overlap 1.23 s spread vs 0.83 s unspread at sf0.1.
+    # The FUNNELS pass spread=True: there the decontam arm sits on the
+    # critical path of the survivor frame's single eager materialization,
+    # where scan parallelism wins — measured pipeline_curation_full
+    # 5.66 s spread vs 6.07 s unspread (dsir 5.98 vs 6.25).
     docs = read_table(spark, sf_dir, "documents")
+    if spread:
+        docs = spread_small_input(docs)
     text_col = _planted_text() if plant else F.col("text")
     with_t = docs.select("doc_id", tokens(text_col).alias("t"))
     grams = with_t.select(
@@ -1251,7 +1263,7 @@ def _survivors(spark: SparkSession, sf_dir: str, plant: bool = False) -> DataFra
     docs = read_table(spark, sf_dir, "documents")
     dd = dedup_keep_list(spark, sf_dir).filter("keep").select("doc_id")
     qok = quality_filter_composite(spark, sf_dir).filter("keep").select("doc_id")
-    cont = _decontam(spark, sf_dir, _DECON_N_W8, plant=plant).select("doc_id")
+    cont = _decontam(spark, sf_dir, _DECON_N_W8, plant=plant, spread=True).select("doc_id")
     return (
         docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
         .join(dd, "doc_id")
@@ -1370,7 +1382,7 @@ def curation_report_frame(
     qok = quality_filter_composite(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("keep_q")
     )
-    cont = _decontam(spark, sf_dir, _DECON_N_W8, plant=plant).select(
+    cont = _decontam(spark, sf_dir, _DECON_N_W8, plant=plant, spread=True).select(
         "doc_id", F.lit(True).alias("contam")
     )
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
