@@ -83,24 +83,46 @@ def minhash_signatures(
 
     Chunking cuts the md5 evaluations per shingle occurrence 4× vs one
     md5 per hash; each 32-bit chunk of a uniform digest is itself a valid
-    uniform min-hash. The seeded digests are projected into columns before
-    the groupBy so each is computed once per row (same CSE-across-
-    expressions reasoning as shingle_sets). One explode + one exchange
-    keyed by doc id; the k mins combine map-side (partial agg).
+    uniform min-hash.
+
+    ZERO exchanges (r16): a min-hash is a per-document reduction over its
+    own shingle array, so it computes as ``array_min(transform(...))``
+    projections — no explode, no groupBy. The previous form exploded to
+    one row per (doc, shingle) and shuffled every seeded digest through a
+    doc-keyed aggregation: a corpus-shingle-occurrence-sized exchange
+    (~100 bytes x occurrences at any scale) for values that never needed
+    to leave their row (guide §2.4 "remove shuffles outright").
+    Bit-identical: shingle arrays are non-empty by construction
+    (shingles_from_tokens falls back to the whole text below n tokens),
+    min over lexicographic hex strings is the same reduction either way,
+    and the digest arrays are projected into columns before the per-chunk
+    mins so each md5 runs once per shingle (the CSE-across-lambdas
+    boundary CollapseProject keeps for non-cheap multiply-referenced
+    expressions — the shingle_sets lesson).
     """
     n_seeds = (num_hashes + 3) // 4
-    exploded = sets_df.select("doc", F.explode("shingles").alias("sh")).select(
+    with_h = sets_df.select(
         "doc",
         *[
-            F.md5(F.concat(F.lit(f"{s}|"), F.col("sh"))).alias(f"h{s}")
+            F.transform(
+                "shingles",
+                lambda sh, _s=s: F.md5(F.concat(F.lit(f"{_s}|"), sh)),
+            ).alias(f"h{s}")
             for s in range(n_seeds)
         ],
     )
-    aggs = [
-        F.min(F.substring(F.col(f"h{i // 4}"), (i % 4) * 8 + 1, 8)).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return exploded.groupBy("doc").agg(*aggs)
+    return with_h.select(
+        "doc",
+        *[
+            F.array_min(
+                F.transform(
+                    f"h{i // 4}",
+                    lambda d, _i=i: F.substring(d, (_i % 4) * 8 + 1, 8),
+                )
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def lsh_bands(
